@@ -1,0 +1,90 @@
+"""Device mesh + sharding rules: the TPU-native replacement for the
+reference's HF-Accelerate DDP over NCCL (SURVEY.md section 2.7).
+
+Design: a 1-D "data" mesh axis over ICI shards the rollout/training batch;
+the factor net (and frozen model weights) are replicated.  Gradients need no
+hand-written all-reduce — with batch-sharded inputs and replicated params,
+XLA inserts the psum for the global-mean loss automatically under jit.  An
+optional "model" axis is reserved for tensor-sharding large denoisers.
+
+This replaces: accelerator.prepare DDP wrap (train_ppo.py:257-259), implicit
+gradient all-reduce (train_ppo.py:430), and the step-count broadcast
+(edit_ppo/train_ppo.py:275-283 — here made deterministic per-step instead,
+see rl/train.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    num_devices: Optional[int] = None,
+    axis_shape: Optional[Tuple[int, ...]] = None,
+    axis_names: Sequence[str] = (DATA_AXIS,),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a mesh over the fastest (ICI) dimension first.
+
+    Defaults to a 1-D data mesh over all local devices.  For multi-slice
+    (DCN) topologies pass an explicit ``axis_shape`` with the DCN axis
+    leading so collectives ride ICI within a slice.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    if axis_shape is None:
+        axis_shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    arr = np.asarray(devices).reshape(axis_shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree: Any, axis: str = DATA_AXIS) -> Any:
+    """Device-put every leaf with its leading axis sharded over the mesh."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def data_parallel_jit(fn, mesh: Mesh, batch_argnums: Sequence[int], static_argnums=()):
+    """jit ``fn`` with the given positional args batch-sharded and everything
+    else replicated.  XLA inserts the cross-device collectives (grad psum)
+    automatically; this is the pjit-style replacement for DDP."""
+    import inspect
+
+    bshard = batch_sharding(mesh)
+    rshard = replicated(mesh)
+    nargs = len(inspect.signature(fn).parameters)
+    in_shardings = tuple(
+        bshard if i in batch_argnums else rshard for i in range(nargs)
+    )
+    return jax.jit(fn, in_shardings=in_shardings, static_argnums=static_argnums)
+
+
+def assert_params_synced(params: Any) -> float:
+    """Debug probe mirroring the reference's DDP param-sum print
+    (train_ppo.py:452-455): returns the global param sum (identical on every
+    host iff replication is intact)."""
+    return float(
+        sum(jax.tree.leaves(jax.tree.map(lambda p: p.sum(), params)))
+    )

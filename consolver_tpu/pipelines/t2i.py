@@ -1,0 +1,261 @@
+"""Text-to-image denoise pipeline: one jitted ``lax.scan`` over solver steps.
+
+TPU-native redesign of the reference's rollout recorder ``denoise_diffusion``
+(/root/reference/denoise_ppo.py:6-120) and the diffusers pipeline denoise loop
+(gen_pretrain/pipeline.py:1048-1098): the whole loop — CFG-batched UNet
+forward, FactorNet sampling, learnable-LMM combine, DDIM update — compiles to
+a single XLA program per step count, with the RL trajectory (conds, actions,
+probs, masks) recorded functionally as scan outputs.
+
+The plain-DDIM baseline is the degenerate solver ``order_dim=1, scaler_dim=0``
+(combine is a passthrough), so one code path serves both.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from consolver_tpu.core import schedules, solver
+from consolver_tpu.policy.factor_net import FactorNet
+
+
+@dataclasses.dataclass(frozen=True)
+class Trajectory:
+    """Stacked per-step PPO records, shaped [B, steps-1, ...] to match the
+    reference's `if i > 0` recording (denoise_ppo.py:105-120)."""
+
+    conds_x: jax.Array  # [B, S-1, 2]
+    actions: jax.Array  # [B, S-1, A]
+    probs: jax.Array  # [B, S-1, A]
+    masks: jax.Array  # [B, S-1, A]
+    conds_eps: Optional[jax.Array] = None  # [B, S-1, order_dim, ...] if use_conv
+
+
+jax.tree_util.register_dataclass(
+    Trajectory,
+    data_fields=["conds_x", "actions", "probs", "masks", "conds_eps"],
+    meta_fields=[],
+)
+
+
+def make_denoise_fn(
+    unet_apply: Callable[..., jax.Array],
+    schedule: schedules.DiffusionSchedule,
+    factor_net: Optional[FactorNet],
+    num_inference_steps: int,
+    guidance_scale: float = 3.0,
+    timestep_spacing: str = "trailing",
+    steps_offset: int = 1,
+    record_trajectory: bool = True,
+) -> Callable[..., Tuple[jax.Array, Optional[Trajectory]]]:
+    """Build the jitted denoise function.
+
+    unet_apply: (unet_params, latents_nhwc, timesteps, context) -> epsilon.
+    Returned fn: (unet_params, factor_params, key, noise, context,
+    uncond_context) -> (final latents, Trajectory or None).
+
+    CFG runs as one 2B-batched UNet call (denoise_ppo.py:66,89-100); with
+    guidance_scale <= 1 the uncond branch is skipped entirely.
+    """
+    if factor_net is None:
+        # Degenerate DDIM solver: passthrough combine, no sampled actions.
+        order_dim, scaler_dim, action_dims = 1, 0, 1
+    else:
+        order_dim = factor_net.config.order_dim
+        scaler_dim = factor_net.config.scaler_dim
+        action_dims = factor_net.config.action_dims
+
+    ts = schedules.spaced_timesteps(
+        schedule.num_train_timesteps, num_inference_steps, timestep_spacing, steps_offset
+    )
+    prev_ts = ts - schedule.num_train_timesteps // num_inference_steps
+    ts_arr = jnp.asarray(ts, jnp.int32)
+    prev_arr = jnp.asarray(prev_ts, jnp.int32)
+    alphas = jnp.asarray(schedule.alphas_cumprod)
+    do_cfg = guidance_scale > 1.0
+    use_conv = factor_net is not None and factor_net.config.use_conv
+
+    @jax.jit
+    def denoise(unet_params, factor_params, key, noise, context, uncond_context):
+        batch = noise.shape[0]
+        sample_shape = noise.shape[1:]
+        state = solver.init_state(batch, order_dim, sample_shape)
+        if do_cfg:
+            full_context = jnp.concatenate([uncond_context, context], axis=0)
+        else:
+            full_context = context
+
+        def body(carry, xs):
+            st, latents, k = carry
+            t, t_prev = xs
+            if do_cfg:
+                latent_in = jnp.concatenate([latents, latents], axis=0)
+                t_in = jnp.broadcast_to(t, (2 * batch,))
+                eps_all = unet_apply(unet_params, latent_in, t_in, full_context)
+                eps_uncond, eps_text = jnp.split(eps_all, 2, axis=0)
+                eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+            else:
+                eps = unet_apply(
+                    unet_params, latents, jnp.broadcast_to(t, (batch,)), full_context
+                )
+            eps = eps.astype(jnp.float32)
+
+            conds_x = jnp.tile(
+                jnp.stack([t, t_prev]).astype(jnp.float32)[None], (batch, 1)
+            )
+            # History must be pushed before the policy sees it (the reference
+            # samples from conds built AFTER the ets append,
+            # scheduler_ppo.py:214-240).
+            st = solver.push(st, eps)
+            if factor_net is not None:
+                k, sub = jax.random.split(k)
+                conds = {"x": conds_x, "epsilon": st.ets}
+                actions, probs = factor_net.sample_action(factor_params, sub, conds)
+            else:
+                actions = jnp.zeros((batch, action_dims), jnp.float32)
+                probs = jnp.ones((batch, action_dims), jnp.float32)
+
+            order_actions, scale_actions, _ = solver.split_actions(
+                actions, order_dim, scaler_dim
+            )
+            coeffs = solver.normalized_coefficients(
+                order_actions.astype(jnp.float32), st.num_ets, order_dim
+            )
+            effective = solver.combine(st, coeffs)
+            effective, scaled_sample = solver.apply_scalers(
+                effective, latents.astype(jnp.float32), scale_actions.astype(jnp.float32)
+            )
+            masks = solver.warmup_masks(st.num_ets, order_dim, action_dims, batch)
+
+            a_t, a_prev = solver.gather_alpha_prods(
+                alphas, t, t_prev, schedule.final_alpha_cumprod
+            )
+            latents = solver.ddim_update(
+                scaled_sample, effective, a_t, a_prev, schedule.prediction_type
+            )
+            record = (conds_x, actions, probs, masks) + (
+                (st.ets,) if use_conv else ()
+            )
+            return (st, latents, k), record
+
+        (_, latents, _), records = jax.lax.scan(
+            body, (state, jnp.asarray(noise, jnp.float32), key), (ts_arr, prev_arr)
+        )
+
+        if not record_trajectory:
+            return latents, None
+
+        # scan stacks the step axis first: [S, B, ...] -> [B, S-1, ...],
+        # dropping step 0 (denoise_ppo.py:105).
+        def to_traj(x):
+            return jnp.swapaxes(x[1:], 0, 1)
+
+        conds_eps = to_traj(records[4]) if use_conv else None
+        traj = Trajectory(
+            conds_x=to_traj(records[0]),
+            actions=to_traj(records[1]),
+            probs=to_traj(records[2]),
+            masks=to_traj(records[3]),
+            conds_eps=conds_eps,
+        )
+        return latents, traj
+
+    return denoise
+
+
+def encode_prompt_fn(text_encoder_apply: Callable[..., jax.Array]):
+    """Build a jitted (params, prompt_ids, uncond_ids) -> (context,
+    uncond_context) embedder (denoise_ppo.py:25-50)."""
+
+    @jax.jit
+    def encode(te_params, prompt_ids, uncond_ids):
+        return (
+            text_encoder_apply(te_params, prompt_ids),
+            text_encoder_apply(te_params, uncond_ids),
+        )
+
+    return encode
+
+
+class TextToImagePipeline:
+    """Convenience bundle mirroring the diffusers pipeline surface: holds
+    models + params, builds/caches jitted denoise fns per (steps, cfg)."""
+
+    def __init__(
+        self,
+        unet,
+        unet_params,
+        text_encoder,
+        text_params,
+        vae,
+        vae_params,
+        schedule: schedules.DiffusionSchedule,
+        factor_net: Optional[FactorNet] = None,
+        factor_params: Optional[Any] = None,
+        timestep_spacing: str = "trailing",
+        steps_offset: int = 1,
+    ):
+        self.unet = unet
+        self.unet_params = unet_params
+        self.text_encoder = text_encoder
+        self.text_params = text_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.schedule = schedule
+        self.factor_net = factor_net
+        self.factor_params = factor_params
+        self.timestep_spacing = timestep_spacing
+        self.steps_offset = steps_offset
+        self._denoise_cache = {}
+        self._encode = encode_prompt_fn(
+            lambda p, ids: self.text_encoder.apply(p, ids)
+        )
+
+    def _unet_apply(self, params, latents, t, context):
+        return self.unet.apply(params, latents, t, context)
+
+    def denoise_fn(self, num_inference_steps: int, guidance_scale: float, record: bool = True):
+        key = (num_inference_steps, float(guidance_scale), record)
+        if key not in self._denoise_cache:
+            self._denoise_cache[key] = make_denoise_fn(
+                self._unet_apply,
+                self.schedule,
+                self.factor_net,
+                num_inference_steps,
+                guidance_scale,
+                self.timestep_spacing,
+                self.steps_offset,
+                record_trajectory=record,
+            )
+        return self._denoise_cache[key]
+
+    def __call__(
+        self,
+        key: jax.Array,
+        prompt_ids: jax.Array,
+        noise: jax.Array,
+        num_inference_steps: int = 8,
+        guidance_scale: float = 3.0,
+        uncond_ids: Optional[jax.Array] = None,
+        decode: bool = True,
+    ):
+        """Returns (images or final latents, trajectory)."""
+        if uncond_ids is None:
+            uncond_ids = jnp.zeros_like(prompt_ids)
+        context, uncond_context = self._encode(self.text_params, prompt_ids, uncond_ids)
+        denoise = self.denoise_fn(num_inference_steps, guidance_scale)
+        latents, traj = denoise(
+            self.unet_params, self.factor_params, key, noise, context, uncond_context
+        )
+        if not decode:
+            return latents, traj
+        from consolver_tpu.models.vae import decode_latents
+
+        images = decode_latents(self.vae, self.vae_params, latents)
+        return images, traj

@@ -1,0 +1,147 @@
+"""PPO machinery: group-relative advantages, clipped surrogate, update step.
+
+TPU-native re-design of the reference PPO loop (train_ppo.py:322-437 for SD,
+edit_ppo/train_ppo.py:259-389 for FLUX).  Semantics reproduced:
+
+  * group advantages (rewards - mean)/(std + 1e-8) * scale with the group
+    being one prompt repeated over the batch (train_ppo.py:376; scale 10)
+  * FLUX baseline-clip variant: the group mean is clipped from below by the
+    naive-solver baseline reward (edit_ppo/train_ppo.py:316-326; no scale)
+  * per-step broadcast + warmup-mask multiply (train_ppo.py:377-390)
+  * joint log-prob over action dims, ratio clip, -min(A r, A r_clip),
+    entropy bonus -coef * H (train_ppo.py:406-427)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from consolver_tpu.pipelines.t2i import Trajectory
+from consolver_tpu.policy.factor_net import FactorNet
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    clip_range: float = 0.2
+    entropy_coef: float = 0.01
+    ppo_epochs: int = 1
+    advantage_scale: float = 10.0
+    learning_rate: float = 1e-4
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 1e-2
+    max_grad_norm: float = 1.0
+
+
+def group_advantages(rewards: jax.Array, scale: float = 10.0) -> jax.Array:
+    """(r - mean)/(std + 1e-8) * scale over the group axis
+    (train_ppo.py:376)."""
+    return (rewards - rewards.mean()) / (rewards.std() + 1e-8) * scale
+
+
+def baseline_clipped_advantages(
+    rewards: jax.Array, baseline_reward: jax.Array, max_clip: float = 100.0
+) -> jax.Array:
+    """FLUX variant: group mean clipped from below by the naive-scheduler
+    baseline reward (edit_ppo/train_ppo.py:316-326)."""
+    mean = jnp.clip(rewards.mean(), baseline_reward, max_clip)
+    return (rewards - mean) / (rewards.std() + 1e-8)
+
+
+def flatten_trajectory(
+    traj: Trajectory, advantages: jax.Array
+) -> Tuple[Dict[str, jax.Array], jax.Array, jax.Array, jax.Array]:
+    """[B, S-1, ...] trajectory -> flat [B*(S-1), ...] PPO batch with the
+    advantage broadcast over steps and masked (train_ppo.py:377-390).
+
+    Returns (conds, actions, old_probs, masked_advantages[N, A]).
+    """
+    b, s = traj.actions.shape[:2]
+    n = b * s
+
+    def flat(x):
+        return x.reshape((n,) + x.shape[2:])
+
+    conds = {"x": flat(traj.conds_x)}
+    if traj.conds_eps is not None:
+        conds["epsilon"] = flat(traj.conds_eps)
+    actions = flat(traj.actions)
+    old_probs = flat(traj.probs)
+    masks = flat(traj.masks)
+    adv = jnp.repeat(advantages.reshape(b, 1), s, axis=1).reshape(n, 1)
+    return conds, actions, old_probs, adv * masks
+
+
+def ppo_loss(
+    factor_net: FactorNet,
+    params: Any,
+    conds: Dict[str, jax.Array],
+    actions: jax.Array,
+    old_probs: jax.Array,
+    advantages: jax.Array,
+    clip_range: float = 0.2,
+    entropy_coef: float = 0.01,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Clipped-surrogate loss with joint log-probs (train_ppo.py:406-427)."""
+    curr_probs, entropy = factor_net.get_action_probs(params, conds, actions)
+    log_probs = jnp.log(curr_probs + 1e-9).sum(axis=1, keepdims=True)
+    old_log_probs = jnp.log(old_probs + 1e-9).sum(axis=1, keepdims=True)
+    ratio = jnp.exp(log_probs - old_log_probs)
+    clipped_ratio = jnp.clip(ratio, 1 - clip_range, 1 + clip_range)
+    policy_loss = -jnp.minimum(advantages * ratio, advantages * clipped_ratio).mean()
+    entropy_loss = -entropy_coef * entropy.mean()
+    loss = policy_loss + entropy_loss
+    return loss, {
+        "policy_loss": policy_loss,
+        "entropy": entropy.mean(),
+        "ratio_mean": ratio.mean(),
+        "loss": loss,
+    }
+
+
+def make_optimizer(config: PPOConfig) -> optax.GradientTransformation:
+    """AdamW + global-norm clip (replaces the 8-bit bnb Adam + accelerate
+    clip_grad_norm, train_ppo.py:211-229,430-437)."""
+    return optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adamw(
+            config.learning_rate,
+            b1=config.adam_b1,
+            b2=config.adam_b2,
+            eps=config.adam_eps,
+            weight_decay=config.weight_decay,
+        ),
+    )
+
+
+def make_update_fn(
+    factor_net: FactorNet,
+    optimizer: optax.GradientTransformation,
+    config: PPOConfig,
+    grad_sync: Optional[Callable[[Any], Any]] = None,
+):
+    """Build the jitted PPO update.  ``grad_sync`` hooks in the cross-device
+    psum mean for data-parallel training (dist.mesh)."""
+
+    def update(params, opt_state, conds, actions, old_probs, advantages):
+        def loss_fn(p):
+            return ppo_loss(
+                factor_net, p, conds, actions, old_probs, advantages,
+                config.clip_range, config.entropy_coef,
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if grad_sync is not None:
+            grads = grad_sync(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, aux
+
+    return update

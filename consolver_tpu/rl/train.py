@@ -1,0 +1,221 @@
+"""The PPO trainer: rollout -> decode -> reward -> advantage -> update.
+
+TPU-native rebuild of train_ppo.py:45-469 (SD) / edit_ppo/train_ppo.py
+(FLUX baseline-clip variant).  Differences by design:
+
+  * the rollout + decode + reward + advantage path is jit-compiled per
+    inference-step count (the reference randomizes num_inference in [2, 16)
+    per step, train_ppo.py:345 — here each count compiles once and caches);
+  * the per-step inference count is drawn from a host RNG keyed by
+    (seed, global_step), so every data-parallel host computes the same count
+    with NO collective — replacing accelerate broadcast
+    (edit_ppo/train_ppo.py:275-283);
+  * checkpoint/resume via orbax with the reference's "latest" semantics
+    (checkpoint-{step} dirs, train_ppo.py:290-311,445-449).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from consolver_tpu.data.group import repeat_random_sample
+from consolver_tpu.models.vae import decode_latents
+from consolver_tpu.pipelines.t2i import TextToImagePipeline
+from consolver_tpu.rl import ppo
+from consolver_tpu.rl.ppo import PPOConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    max_train_steps: int = 3001
+    guidance_scale: float = 3.0
+    min_inference_steps: int = 2
+    max_inference_steps: int = 16  # exclusive, like random.choice(range(2, 16))
+    seed: int = 0
+    output_dir: str = "runs/ppo"
+    checkpointing_steps: int = 500
+    checkpoints_total_limit: Optional[int] = None
+    log_every: int = 10
+    ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
+
+
+class PPOTrainer:
+    """Single- or multi-host PPO trainer over a :class:`TextToImagePipeline`
+    whose scheduler is the learnable solver (factor_net attached)."""
+
+    def __init__(
+        self,
+        pipeline: TextToImagePipeline,
+        reward_fn: Callable[[jax.Array, jax.Array], jax.Array],
+        config: TrainConfig,
+        mesh=None,
+    ):
+        if pipeline.factor_net is None:
+            raise ValueError("PPOTrainer needs a pipeline with a factor_net")
+        self.pipe = pipeline
+        self.reward_fn = reward_fn
+        self.config = config
+        self.mesh = mesh
+
+        self.factor_net = pipeline.factor_net
+        self.params = pipeline.factor_params
+        self.optimizer = ppo.make_optimizer(config.ppo)
+        self.opt_state = self.optimizer.init(self.params)
+        self.global_step = 0
+        self._update = jax.jit(
+            ppo.make_update_fn(self.factor_net, self.optimizer, config.ppo)
+        )
+        self._decode_and_reward = jax.jit(self._decode_and_reward_impl)
+        self._host_rng = random.Random(config.seed)
+
+    # ------------------------------------------------------------------
+    def _decode_and_reward_impl(self, vae_params, pred_latents, target_latents):
+        pred = decode_latents(self.pipe.vae, vae_params, pred_latents)
+        target = decode_latents(self.pipe.vae, vae_params, target_latents)
+        rewards = self.reward_fn(pred, target)
+        adv = ppo.group_advantages(
+            rewards.reshape(-1), self.config.ppo.advantage_scale
+        )
+        return rewards, adv
+
+    def _num_inference_for_step(self, step: int) -> int:
+        """Deterministic per-step draw: every host computes the same count
+        (replaces the rank-0 broadcast, edit_ppo/train_ppo.py:275-283)."""
+        rng = random.Random(f"{self.config.seed}-{step}")
+        return rng.randrange(
+            self.config.min_inference_steps, self.config.max_inference_steps
+        )
+
+    # ------------------------------------------------------------------
+    def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        """One PPO step on a host batch with keys ``noise`` [B, h, w, c],
+        ``latent`` (teacher final latent) [B, h, w, c], and ``prompt_ids``
+        [B, S]  (group-repeat happens here, train_ppo.py:337)."""
+        cfg = self.config
+        batch = repeat_random_sample(batch, self._host_rng)
+        num_inference = self._num_inference_for_step(self.global_step)
+
+        prompt_ids = jnp.asarray(batch["prompt_ids"])
+        uncond_ids = jnp.asarray(
+            batch.get("uncond_ids", np.zeros_like(batch["prompt_ids"]))
+        )
+        context, uncond_context = self.pipe._encode(
+            self.pipe.text_params, prompt_ids, uncond_ids
+        )
+
+        denoise = self.pipe.denoise_fn(num_inference, cfg.guidance_scale)
+        key = jax.random.fold_in(jax.random.key(cfg.seed), self.global_step)
+        latents, traj = denoise(
+            self.pipe.unet_params,
+            self.params,
+            key,
+            jnp.asarray(batch["noise"]),
+            context,
+            uncond_context,
+        )
+
+        rewards, advantages = self._decode_and_reward(
+            self.pipe.vae_params, latents, jnp.asarray(batch["latent"])
+        )
+
+        conds, actions, old_probs, adv = ppo.flatten_trajectory(traj, advantages)
+        metrics = {}
+        for _ in range(cfg.ppo.ppo_epochs):
+            self.params, self.opt_state, metrics = self._update(
+                self.params, self.opt_state, conds, actions, old_probs, adv
+            )
+        self.pipe.factor_params = self.params
+        self.global_step += 1
+        out = {k: float(v) for k, v in metrics.items()}
+        out["reward"] = float(rewards.mean())
+        out["num_inference"] = num_inference
+        return out
+
+    # ------------------------------------------------------------------
+    # Checkpointing (orbax), reference "latest" semantics
+    def save_checkpoint(self) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(
+            os.path.join(self.config.output_dir, f"checkpoint-{self.global_step}")
+        )
+        ckpt = ocp.PyTreeCheckpointer()
+        ckpt.save(
+            path,
+            {
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "global_step": self.global_step,
+            },
+            force=True,
+        )
+        self._enforce_total_limit()
+        return path
+
+    def _enforce_total_limit(self):
+        limit = self.config.checkpoints_total_limit
+        if not limit:
+            return
+        dirs = self._checkpoint_dirs()
+        for d in dirs[:-limit]:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.config.output_dir, d), ignore_errors=True)
+
+    def _checkpoint_dirs(self):
+        if not os.path.isdir(self.config.output_dir):
+            return []
+        dirs = [
+            d
+            for d in os.listdir(self.config.output_dir)
+            if d.startswith("checkpoint-")
+        ]
+        return sorted(dirs, key=lambda d: int(d.split("-")[1]))
+
+    def resume_from_checkpoint(self, which: str = "latest") -> bool:
+        """Restore params/opt_state/global_step (train_ppo.py:290-311)."""
+        import orbax.checkpoint as ocp
+
+        if which == "latest":
+            dirs = self._checkpoint_dirs()
+            if not dirs:
+                return False
+            path = os.path.join(self.config.output_dir, dirs[-1])
+        else:
+            path = which
+        ckpt = ocp.PyTreeCheckpointer()
+        restored = ckpt.restore(
+            os.path.abspath(path),
+            item={
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "global_step": 0,
+            },
+        )
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.global_step = int(restored["global_step"])
+        self.pipe.factor_params = self.params
+        return True
+
+    # ------------------------------------------------------------------
+    def fit(self, batches, log_fn: Optional[Callable[[int, Dict], None]] = None):
+        """Run the training loop over an iterable of host batches."""
+        for batch in batches:
+            if self.global_step >= self.config.max_train_steps:
+                break
+            metrics = self.train_step(batch)
+            if self.global_step % self.config.checkpointing_steps == 0:
+                self.save_checkpoint()
+            if log_fn and self.global_step % self.config.log_every == 0:
+                log_fn(self.global_step, metrics)
+        return self.params

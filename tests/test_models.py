@@ -1,0 +1,261 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from consolver_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
+from consolver_tpu.models.unet_2d import UNetConfig, UNet2DCondition
+from consolver_tpu.models.vae import AutoencoderKL, VaeConfig, decode_latents
+from consolver_tpu.models import convert
+
+
+def _param_count(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+class TestUNet:
+    def test_tiny_forward(self):
+        cfg = UNetConfig.tiny()
+        model = UNet2DCondition(cfg)
+        x = jnp.zeros((2, 16, 16, 4))
+        t = jnp.asarray([999, 500])
+        ctx = jnp.zeros((2, 8, cfg.cross_attention_dim))
+        params = model.init(jax.random.key(0), x, t, ctx)
+        out = jax.jit(model.apply)(params, x, t, ctx)
+        assert out.shape == (2, 16, 16, 4)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_sd15_param_count(self):
+        """Structure check: SD-1.5 UNet has 859,520,964 parameters."""
+        cfg = UNetConfig.sd15()
+        model = UNet2DCondition(cfg)
+        shapes = jax.eval_shape(
+            model.init,
+            jax.random.key(0),
+            jnp.zeros((1, 64, 64, 4)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 768)),
+        )
+        assert _param_count(shapes) == 859_520_964
+
+    def test_timestep_conditioning_changes_output(self):
+        cfg = UNetConfig.tiny()
+        model = UNet2DCondition(cfg)
+        x = jnp.ones((1, 8, 8, 4))
+        ctx = jnp.ones((1, 4, cfg.cross_attention_dim))
+        params = model.init(jax.random.key(0), x, jnp.asarray([0]), ctx)
+        a = model.apply(params, x, jnp.asarray([0]), ctx)
+        b = model.apply(params, x, jnp.asarray([999]), ctx)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_context_conditioning_changes_output(self):
+        cfg = UNetConfig.tiny()
+        model = UNet2DCondition(cfg)
+        x = jnp.ones((1, 8, 8, 4))
+        params = model.init(
+            jax.random.key(0), x, jnp.asarray([10]), jnp.ones((1, 4, cfg.cross_attention_dim))
+        )
+        a = model.apply(params, x, jnp.asarray([10]), jnp.ones((1, 4, cfg.cross_attention_dim)))
+        b = model.apply(params, x, jnp.asarray([10]), -jnp.ones((1, 4, cfg.cross_attention_dim)))
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestVae:
+    def test_roundtrip_shapes(self):
+        cfg = VaeConfig.tiny()
+        vae = AutoencoderKL(cfg)
+        x = jnp.zeros((2, 16, 16, 3))
+        params = vae.init(jax.random.key(0), x, jax.random.key(1))
+        mean, logvar = vae.apply(params, x, method=vae.encode)
+        assert mean.shape == (2, 8, 8, cfg.latent_channels)
+        assert logvar.shape == mean.shape
+        img = vae.apply(params, mean, method=vae.decode)
+        assert img.shape == (2, 16, 16, 3)
+
+    def test_sd15_param_count(self):
+        """diffusers SD-1.5 AutoencoderKL has 83,653,863 parameters."""
+        vae = AutoencoderKL(VaeConfig.sd15())
+        shapes = jax.eval_shape(
+            vae.init, jax.random.key(0), jnp.zeros((1, 64, 64, 3)), jax.random.key(1)
+        )
+        assert _param_count(shapes) == 83_653_863
+
+    def test_decode_latents_range(self):
+        cfg = VaeConfig.tiny()
+        vae = AutoencoderKL(cfg)
+        x = jnp.zeros((1, 16, 16, 3))
+        params = vae.init(jax.random.key(0), x, jax.random.key(1))
+        z = jax.random.normal(jax.random.key(2), (1, 8, 8, 4)) * cfg.scaling_factor
+        img = decode_latents(vae, params, z)
+        assert img.shape == (1, 16, 16, 3)
+        assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+
+
+class TestClip:
+    def test_forward_shape(self):
+        cfg = ClipTextConfig.tiny()
+        enc = ClipTextEncoder(cfg)
+        ids = jnp.zeros((2, 77), jnp.int32)
+        params = enc.init(jax.random.key(0), ids)
+        out = enc.apply(params, ids)
+        assert out.shape == (2, 77, cfg.hidden_size)
+
+    def test_sd15_param_count(self):
+        """CLIP ViT-L/14 text tower has 123,060,480 parameters."""
+        enc = ClipTextEncoder(ClipTextConfig.sd15())
+        shapes = jax.eval_shape(enc.init, jax.random.key(0), jnp.zeros((1, 77), jnp.int32))
+        assert _param_count(shapes) == 123_060_480
+
+    def test_causality(self):
+        """Changing a later token must not affect earlier hidden states."""
+        cfg = ClipTextConfig.tiny()
+        enc = ClipTextEncoder(cfg)
+        ids_a = jnp.asarray([[1, 2, 3, 4]])
+        ids_b = jnp.asarray([[1, 2, 3, 999]])
+        params = enc.init(jax.random.key(0), ids_a)
+        out_a = enc.apply(params, ids_a)
+        out_b = enc.apply(params, ids_b)
+        np.testing.assert_allclose(
+            np.asarray(out_a[:, :3]), np.asarray(out_b[:, :3]), atol=1e-5
+        )
+        assert not np.allclose(np.asarray(out_a[:, 3]), np.asarray(out_b[:, 3]))
+
+
+class TestTorchParity:
+    """Block-level numerical parity against equivalent torch modules
+    (the reference's building blocks come from diffusers/torch)."""
+
+    def test_resnet_block(self):
+        torch = pytest.importorskip("torch")
+        from consolver_tpu.models.layers import ResnetBlock2D
+
+        c_in, c_out, groups = 8, 16, 4
+        tnorm1 = torch.nn.GroupNorm(groups, c_in, eps=1e-5)
+        tconv1 = torch.nn.Conv2d(c_in, c_out, 3, padding=1)
+        ttime = torch.nn.Linear(12, c_out)
+        tnorm2 = torch.nn.GroupNorm(groups, c_out, eps=1e-5)
+        tconv2 = torch.nn.Conv2d(c_out, c_out, 3, padding=1)
+        tshort = torch.nn.Conv2d(c_in, c_out, 1)
+        for m in [tnorm1, tconv1, ttime, tnorm2, tconv2, tshort]:
+            torch.nn.init.normal_(m.weight, std=0.3)
+            torch.nn.init.normal_(m.bias, std=0.1)
+
+        x = torch.randn(2, c_in, 6, 6)
+        temb = torch.randn(2, 12)
+        with torch.no_grad():
+            h = tconv1(torch.nn.functional.silu(tnorm1(x)))
+            h = h + ttime(torch.nn.functional.silu(temb))[:, :, None, None]
+            h = tconv2(torch.nn.functional.silu(tnorm2(h)))
+            ref = (tshort(x) + h).numpy()
+
+        sd = {}
+        for name, mod in [
+            ("norm1", tnorm1), ("conv1", tconv1), ("time_emb_proj", ttime),
+            ("norm2", tnorm2), ("conv2", tconv2), ("conv_shortcut", tshort),
+        ]:
+            for k, v in mod.state_dict().items():
+                sd[f"{name}.{k}"] = v
+        params = convert.convert_state_dict(sd)
+
+        block = ResnetBlock2D(out_channels=c_out, groups=groups)
+        out = block.apply(
+            params,
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+            jnp.asarray(temb.numpy()),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-4
+        )
+
+    def test_downsample_asymmetric_padding(self):
+        torch = pytest.importorskip("torch")
+        from consolver_tpu.models.layers import Downsample2D
+
+        tconv = torch.nn.Conv2d(4, 4, 3, stride=2, padding=0)
+        x = torch.randn(1, 4, 8, 8)
+        with torch.no_grad():
+            ref = tconv(torch.nn.functional.pad(x, (0, 1, 0, 1))).numpy()
+        params = convert.convert_state_dict(
+            {f"conv.{k}": v for k, v in tconv.state_dict().items()}
+        )
+        out = Downsample2D(4).apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-4
+        )
+
+    def test_attention_vs_torch_sdpa(self):
+        torch = pytest.importorskip("torch")
+        from consolver_tpu.kernels.attention import xla_attention
+
+        b, s, h, d = 2, 10, 3, 8
+        q = np.random.default_rng(0).standard_normal((b, s, h, d)).astype(np.float32)
+        k = np.random.default_rng(1).standard_normal((b, s, h, d)).astype(np.float32)
+        v = np.random.default_rng(2).standard_normal((b, s, h, d)).astype(np.float32)
+        with torch.no_grad():
+            ref = torch.nn.functional.scaled_dot_product_attention(
+                torch.from_numpy(q).permute(0, 2, 1, 3),
+                torch.from_numpy(k).permute(0, 2, 1, 3),
+                torch.from_numpy(v).permute(0, 2, 1, 3),
+            ).permute(0, 2, 1, 3).numpy()
+        out = xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+class TestConverter:
+    def test_merge_indices(self):
+        assert convert._merge_indices("down_blocks.0.resnets.1.conv1.weight") == (
+            "down_blocks_0", "resnets_1", "conv1", "weight",
+        )
+        assert convert._merge_indices("to_out.0.weight") == ("to_out_0", "weight")
+        assert convert._merge_indices("ff.net.0.proj.bias") == ("ff", "net_0", "proj", "bias")
+
+    def test_clip_renames(self):
+        sd = {
+            "text_model.encoder.layers.0.mlp.fc1.weight": np.zeros((4, 2)),
+            "text_model.embeddings.token_embedding.weight": np.zeros((10, 2)),
+            "text_model.embeddings.position_embedding.weight": np.zeros((7, 2)),
+            "text_model.final_layer_norm.weight": np.zeros((2,)),
+        }
+        tree = convert.convert_clip_text(sd)["params"]
+        assert tree["layers_0"]["mlp_fc1"]["kernel"].shape == (2, 4)
+        assert tree["token_embedding"]["embedding"].shape == (10, 2)
+        assert tree["position_embedding"]["embedding"].shape == (7, 2)
+        assert tree["final_layer_norm"]["scale"].shape == (2,)
+
+    def test_tiny_unet_structure_roundtrip(self):
+        """Converter output matches the init tree structure for a synthesized
+        torch-style state dict derived from the flax tree itself."""
+        cfg = UNetConfig.tiny()
+        model = UNet2DCondition(cfg)
+        init_tree = jax.eval_shape(
+            model.init, jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 4, cfg.cross_attention_dim)),
+        )["params"]
+
+        sd = {}
+
+        def walk(node, prefix):
+            for k, v in node.items():
+                name = k
+                # invert the index merge: trailing _N -> .N
+                import re as _re
+                name = _re.sub(r"_(\d+)$", r".\1", name)
+                path = f"{prefix}.{name}" if prefix else name
+                if isinstance(v, dict):
+                    walk(v, path)
+                else:
+                    shape = v.shape
+                    if k == "kernel" and len(shape) == 4:
+                        sd[f"{prefix}.weight"] = np.zeros(
+                            (shape[3], shape[2], shape[0], shape[1]), np.float32
+                        )
+                    elif k == "kernel":
+                        sd[f"{prefix}.weight"] = np.zeros((shape[1], shape[0]), np.float32)
+                    elif k == "scale":
+                        sd[f"{prefix}.weight"] = np.zeros(shape, np.float32)
+                    else:
+                        sd[f"{prefix}.{k}"] = np.zeros(shape, np.float32)
+
+        walk(init_tree, "")
+        converted = convert.convert_unet(sd)["params"]
+        convert.assert_tree_matches(converted, jax.tree.map(lambda x: x, init_tree))

@@ -1,0 +1,142 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from consolver_tpu.core import schedules, solver
+from consolver_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
+from consolver_tpu.models.unet_2d import UNetConfig, UNet2DCondition
+from consolver_tpu.models.vae import AutoencoderKL, VaeConfig
+from consolver_tpu.pipelines.t2i import TextToImagePipeline, make_denoise_fn
+from consolver_tpu.policy import FactorNet, FactorNetConfig
+from tests.reference_emulator import ddim_update_np
+
+
+def make_tiny_stack(key=0):
+    kk = jax.random.split(jax.random.key(key), 4)
+    ucfg = UNetConfig.tiny()
+    unet = UNet2DCondition(ucfg)
+    unet_params = unet.init(
+        kk[0], jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 4, ucfg.cross_attention_dim)),
+    )
+    tcfg = ClipTextConfig.tiny()
+    te = ClipTextEncoder(tcfg)
+    te_params = te.init(kk[1], jnp.zeros((1, 4), jnp.int32))
+    vcfg = VaeConfig.tiny()
+    vae = AutoencoderKL(vcfg)
+    vae_params = vae.init(kk[2], jnp.zeros((1, 16, 16, 3)), kk[3])
+    return (unet, unet_params), (te, te_params), (vae, vae_params)
+
+
+def test_ddim_pipeline_matches_manual_loop():
+    """order_dim=1 degenerate solver == a hand-written plain DDIM loop."""
+    (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()
+    sched = schedules.DiffusionSchedule.sd15()
+    num_steps, cfg_scale = 4, 3.0
+    batch = 2
+
+    denoise = make_denoise_fn(
+        lambda p, x, t, c: unet.apply(p, x, t, c), sched, None, num_steps, cfg_scale
+    )
+    noise = jax.random.normal(jax.random.key(5), (batch, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(6), (batch, 4, 32))
+    uncond = jax.random.normal(jax.random.key(7), (batch, 4, 32))
+    latents, traj = denoise(unet_params, None, jax.random.key(8), noise, ctx, uncond)
+
+    # manual loop
+    ts = schedules.spaced_timesteps(1000, num_steps, "trailing")
+    x = np.asarray(noise)
+    for t in ts:
+        t_prev = t - 1000 // num_steps
+        tb = jnp.full((batch,), t, jnp.int32)
+        e_u = np.asarray(unet.apply(unet_params, jnp.asarray(x), tb, uncond))
+        e_c = np.asarray(unet.apply(unet_params, jnp.asarray(x), tb, ctx))
+        eps = e_u + cfg_scale * (e_c - e_u)
+        a_t = sched.alphas_cumprod[t]
+        a_prev = sched.alphas_cumprod[t_prev] if t_prev >= 0 else sched.final_alpha_cumprod
+        x = ddim_update_np(x, eps, a_t, a_prev)
+
+    np.testing.assert_allclose(np.asarray(latents), x, rtol=2e-3, atol=2e-3)
+    assert traj.actions.shape == (batch, num_steps - 1, 1)
+
+
+def test_ppo_pipeline_runs_and_records():
+    (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()
+    sched = schedules.DiffusionSchedule.sd15()
+    fcfg = FactorNetConfig(order_dim=4, scaler_dim=0, num_actions=11, family="sd")
+    fnet = FactorNet(fcfg)
+    fparams = fnet.init(jax.random.key(1))
+
+    num_steps, batch = 6, 3
+    denoise = make_denoise_fn(
+        lambda p, x, t, c: unet.apply(p, x, t, c), sched, fnet, num_steps, 3.0
+    )
+    noise = jax.random.normal(jax.random.key(2), (batch, 8, 8, 4))
+    ctx = jnp.zeros((batch, 4, 32))
+    latents, traj = denoise(
+        unet_params, fparams, jax.random.key(3), noise, ctx, jnp.zeros_like(ctx)
+    )
+    assert latents.shape == noise.shape
+    assert bool(jnp.isfinite(latents).all())
+    A = fcfg.action_dims
+    assert traj.actions.shape == (batch, num_steps - 1, A)
+    assert traj.probs.shape == (batch, num_steps - 1, A)
+    assert traj.conds_x.shape == (batch, num_steps - 1, 2)
+    # zero-init head => uniform probs
+    np.testing.assert_allclose(np.asarray(traj.probs), 1 / 11, rtol=1e-4)
+    # step i=1 (first recorded) has num_ets=2: masks [1, 0, 0]
+    np.testing.assert_array_equal(np.asarray(traj.masks[0, 0]), [1, 0, 0])
+    np.testing.assert_array_equal(np.asarray(traj.masks[0, 2]), [1, 1, 1])
+    # conds_x carries (t, t_prev) of recorded steps (skipping step 0)
+    ts = schedules.spaced_timesteps(1000, num_steps, "trailing")
+    np.testing.assert_allclose(np.asarray(traj.conds_x[0, :, 0]), ts[1:])
+
+
+def test_cfg_off_skips_uncond():
+    (unet, unet_params), _, _ = make_tiny_stack()
+    sched = schedules.DiffusionSchedule.sd15()
+    calls = []
+
+    def counting_apply(p, x, t, c):
+        calls.append(x.shape[0])
+        return unet.apply(p, x, t, c)
+
+    denoise = make_denoise_fn(counting_apply, sched, None, 2, guidance_scale=1.0)
+    noise = jnp.zeros((2, 8, 8, 4))
+    ctx = jnp.zeros((2, 4, 32))
+    denoise(unet_params, None, jax.random.key(0), noise, ctx, ctx)
+    assert all(c == 2 for c in calls)  # no 2x CFG batch
+
+
+def test_full_pipeline_object():
+    (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()
+    sched = schedules.DiffusionSchedule.sd15()
+    fcfg = FactorNetConfig(order_dim=2, scaler_dim=0, num_actions=11, family="sd")
+    fnet = FactorNet(fcfg)
+    pipe = TextToImagePipeline(
+        unet, unet_params, te, te_params, vae, vae_params, sched,
+        factor_net=fnet, factor_params=fnet.init(jax.random.key(0)),
+    )
+    ids = jnp.ones((2, 4), jnp.int32)
+    noise = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    images, traj = pipe(jax.random.key(2), ids, noise, num_inference_steps=3)
+    assert images.shape == (2, 16, 16, 3)  # tiny VAE has one upsample: 8 -> 16
+    assert float(images.min()) >= 0 and float(images.max()) <= 1
+    assert traj.actions.shape == (2, 2, 1)
+
+
+def test_use_conv_records_epsilon():
+    (unet, unet_params), _, _ = make_tiny_stack()
+    sched = schedules.DiffusionSchedule.sd15()
+    fcfg = FactorNetConfig(order_dim=2, scaler_dim=0, num_actions=11, family="sd", use_conv=True)
+    fnet = FactorNet(fcfg)
+    denoise = make_denoise_fn(
+        lambda p, x, t, c: unet.apply(p, x, t, c), sched, fnet, 3, 3.0
+    )
+    noise = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 4, 32))
+    _, traj = denoise(
+        unet_params, fnet.init(jax.random.key(0)), jax.random.key(1), noise, ctx, ctx
+    )
+    assert traj.conds_eps is not None
+    assert traj.conds_eps.shape == (1, 2, 2, 8, 8, 4)

@@ -1,0 +1,214 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from consolver_tpu.core import schedules
+from consolver_tpu.pipelines.t2i import Trajectory
+from consolver_tpu.policy import FactorNet, FactorNetConfig
+from consolver_tpu.rl import ppo
+from consolver_tpu.rl.ppo import PPOConfig
+
+
+def test_group_advantages():
+    r = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    adv = ppo.group_advantages(r, scale=10.0)
+    np.testing.assert_allclose(float(adv.mean()), 0.0, atol=1e-5)
+    expected = (np.asarray(r) - 2.5) / (np.std(np.asarray(r)) + 1e-8) * 10
+    np.testing.assert_allclose(np.asarray(adv), expected, rtol=1e-4)
+
+
+def test_baseline_clipped_advantages():
+    r = jnp.asarray([1.0, 2.0, 3.0])
+    # baseline above the mean clips the mean up to the baseline
+    adv = ppo.baseline_clipped_advantages(r, jnp.asarray(2.5))
+    expected = (np.asarray(r) - 2.5) / (np.std(np.asarray(r)) + 1e-8)
+    np.testing.assert_allclose(np.asarray(adv), expected, rtol=1e-4)
+    # baseline below the mean leaves the mean unchanged
+    adv2 = ppo.baseline_clipped_advantages(r, jnp.asarray(0.0))
+    expected2 = (np.asarray(r) - 2.0) / (np.std(np.asarray(r)) + 1e-8)
+    np.testing.assert_allclose(np.asarray(adv2), expected2, rtol=1e-4)
+
+
+def test_flatten_trajectory():
+    b, s, a = 2, 3, 4
+    traj = Trajectory(
+        conds_x=jnp.arange(b * s * 2, dtype=jnp.float32).reshape(b, s, 2),
+        actions=jnp.zeros((b, s, a)),
+        probs=jnp.full((b, s, a), 0.5),
+        masks=jnp.concatenate(
+            [jnp.zeros((b, s, 1)), jnp.ones((b, s, a - 1))], axis=-1
+        ),
+    )
+    advantages = jnp.asarray([1.0, -2.0])
+    conds, actions, old_probs, adv = ppo.flatten_trajectory(traj, advantages)
+    assert conds["x"].shape == (b * s, 2)
+    assert actions.shape == (b * s, a)
+    assert adv.shape == (b * s, a)
+    # advantage broadcast per sample over steps, zeroed where masked
+    np.testing.assert_allclose(np.asarray(adv[0]), [0, 1, 1, 1])
+    np.testing.assert_allclose(np.asarray(adv[3]), [0, -2, -2, -2])
+
+
+def _bandit_setup(seed=0):
+    cfg = FactorNetConfig(order_dim=2, scaler_dim=0, num_actions=5, family="sd")
+    net = FactorNet(cfg)
+    params = net.init(jax.random.key(seed))
+    conds = {"x": jnp.tile(jnp.asarray([[500.0, 400.0]]), (64, 1))}
+    return cfg, net, params, conds
+
+
+def test_ppo_loss_zero_advantage_is_entropy_only():
+    cfg, net, params, conds = _bandit_setup()
+    actions = jnp.zeros((64, 1))
+    old_probs = jnp.full((64, 1), 0.2)
+    loss, aux = ppo.ppo_loss(
+        net, params, conds, actions, old_probs, jnp.zeros((64, 1)),
+        clip_range=0.2, entropy_coef=0.01,
+    )
+    np.testing.assert_allclose(float(aux["policy_loss"]), 0.0, atol=1e-6)
+    # uniform policy at zero-init: normalized entropy == 1
+    np.testing.assert_allclose(float(loss), -0.01, rtol=1e-4)
+
+
+def test_ppo_bandit_learns():
+    """One-step bandit: rewarding a single grid action must raise its
+    probability (the SURVEY.md section 4 'PPO-update on a bandit toy')."""
+    cfg, net, params, conds = _bandit_setup()
+    optimizer = ppo.make_optimizer(PPOConfig(learning_rate=5e-3, entropy_coef=0.0))
+    opt_state = optimizer.init(params)
+    update = jax.jit(
+        ppo.make_update_fn(net, optimizer, PPOConfig(learning_rate=5e-3, entropy_coef=0.0))
+    )
+
+    target_value = float(np.asarray(net.action_values)[0, 3])
+    key = jax.random.key(1)
+    for step in range(30):
+        key, sub = jax.random.split(key)
+        actions, probs = net.sample_action(params, sub, conds)
+        rewards = jnp.where(jnp.isclose(actions[:, 0], target_value), 1.0, 0.0)
+        adv = ppo.group_advantages(rewards, scale=1.0).reshape(-1, 1)
+        params, opt_state, aux = update(params, opt_state, conds, actions, probs, adv)
+
+    final_probs = net.probs(params, conds)
+    p_target = float(final_probs[0, 0, 3])
+    assert p_target > 0.5, f"policy failed to learn: p={p_target}"
+
+
+def test_update_moves_toward_positive_advantage():
+    cfg, net, params, conds = _bandit_setup()
+    pcfg = PPOConfig(learning_rate=1e-3, entropy_coef=0.0)
+    optimizer = ppo.make_optimizer(pcfg)
+    opt_state = optimizer.init(params)
+    update = jax.jit(ppo.make_update_fn(net, optimizer, pcfg))
+
+    grid = np.asarray(net.action_values)
+    actions = jnp.full((64, 1), float(grid[0, 2]))
+    old_probs = jnp.full((64, 1), 0.2)
+    before = float(net.probs(params, conds)[0, 0, 2])
+    params, opt_state, _ = update(
+        params, opt_state, conds, actions, old_probs, jnp.ones((64, 1))
+    )
+    after = float(net.probs(params, conds)[0, 0, 2])
+    assert after > before
+
+
+def test_trainer_end_to_end(tmp_path):
+    """Tiny full loop: rollout -> psnr reward -> PPO update -> checkpoint
+    -> resume."""
+    from tests.test_pipeline import make_tiny_stack
+    from consolver_tpu.pipelines.t2i import TextToImagePipeline
+    from consolver_tpu.rewards.registry import make_reward_fn
+    from consolver_tpu.rl.train import PPOTrainer, TrainConfig
+
+    (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()
+    sched = schedules.DiffusionSchedule.sd15()
+    fcfg = FactorNetConfig(order_dim=4, scaler_dim=0, num_actions=11, family="sd")
+    fnet = FactorNet(fcfg)
+    pipe = TextToImagePipeline(
+        unet, unet_params, te, te_params, vae, vae_params, sched,
+        factor_net=fnet, factor_params=fnet.init(jax.random.key(0)),
+    )
+    config = TrainConfig(
+        max_train_steps=3,
+        min_inference_steps=2,
+        max_inference_steps=4,
+        output_dir=str(tmp_path),
+        checkpointing_steps=2,
+        ppo=PPOConfig(ppo_epochs=2, learning_rate=1e-4),
+    )
+    trainer = PPOTrainer(pipe, make_reward_fn("image_psnr"), config)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "noise": rng.standard_normal((4, 8, 8, 4)).astype(np.float32),
+        "latent": rng.standard_normal((4, 8, 8, 4)).astype(np.float32),
+        "prompt_ids": np.ones((4, 4), np.int64),
+    }
+    metrics = trainer.train_step(dict(batch))
+    assert np.isfinite(metrics["loss"])
+    assert np.isfinite(metrics["reward"])
+    m2 = trainer.train_step(dict(batch))
+    assert trainer.global_step == 2
+
+    path = trainer.save_checkpoint()
+    assert os.path.isdir(path)
+
+    # fresh trainer resumes
+    pipe2 = TextToImagePipeline(
+        unet, unet_params, te, te_params, vae, vae_params, sched,
+        factor_net=fnet, factor_params=fnet.init(jax.random.key(99)),
+    )
+    trainer2 = PPOTrainer(pipe2, make_reward_fn("image_psnr"), config)
+    assert trainer2.resume_from_checkpoint("latest")
+    assert trainer2.global_step == 2
+    chex_equal = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+        trainer.params, trainer2.params,
+    )
+    assert all(jax.tree.leaves(chex_equal))
+
+
+def test_num_inference_deterministic_across_hosts():
+    from consolver_tpu.rl.train import PPOTrainer, TrainConfig
+
+    cfg = TrainConfig(seed=7)
+    draws_a = [
+        __import__("random").Random(f"{cfg.seed}-{s}").randrange(2, 16) for s in range(20)
+    ]
+    draws_b = [
+        __import__("random").Random(f"{cfg.seed}-{s}").randrange(2, 16) for s in range(20)
+    ]
+    assert draws_a == draws_b
+    assert min(draws_a) >= 2 and max(draws_a) <= 15
+
+
+def test_reward_metrics():
+    from consolver_tpu.rewards import metrics
+
+    pred = jnp.zeros((2, 8, 8, 3))
+    np.testing.assert_allclose(
+        np.asarray(metrics.image_psnr_reward(pred, pred)), [80.0, 80.0], rtol=1e-3
+    )
+    target = jnp.ones((2, 8, 8, 3)) * 0.5
+    r = metrics.image_psnr_reward(pred, target)
+    np.testing.assert_allclose(np.asarray(r), 10 * np.log10(1 / 0.25), rtol=1e-4)
+
+    f1 = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    f2 = jnp.asarray([[1.0, 0.0], [0.0, -1.0]])
+    np.testing.assert_allclose(
+        np.asarray(metrics.feature_cosine_reward(f1, f2)), [100.0, 0.0], atol=1e-4
+    )
+
+    d1 = jnp.tile(jnp.linspace(0, 5, 8)[None, :, None], (1, 1, 8))
+    d2 = d1 * 3 + 7  # min-max normalization makes these identical
+    r = metrics.depth_psnr_reward(d1, d2)
+    assert float(r[0]) > 70
+
+    m1 = jnp.zeros((1, 4, 4), jnp.int32)
+    m2 = m1.at[0, 0, :].set(1)
+    np.testing.assert_allclose(
+        np.asarray(metrics.segmentation_reward(m1, m2)), [75.0]
+    )
