@@ -77,13 +77,17 @@ class ClipEncoderLayer(nn.Module):
 
 
 class ClipTextEncoder(nn.Module):
-    """input_ids [B, S] -> last_hidden_state [B, S, hidden]."""
+    """input_ids [B, S] -> last_hidden_state [B, S, hidden].
+
+    ``return_pooled=True`` additionally returns the EOS-token hidden state
+    (argmax of input_ids — the CLIP pooled output FLUX conditions on).
+    """
 
     cfg: ClipTextConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids):
+    def __call__(self, input_ids, return_pooled: bool = False):
         cfg = self.cfg
         x = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="token_embedding")(input_ids)
         pos = jnp.arange(input_ids.shape[1])
@@ -93,4 +97,9 @@ class ClipTextEncoder(nn.Module):
         x = x.astype(self.dtype)
         for i in range(cfg.num_layers):
             x = ClipEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")(x)
+        if not return_pooled:
+            return x
+        eos_idx = jnp.argmax(input_ids, axis=-1)
+        pooled = x[jnp.arange(x.shape[0]), eos_idx]
+        return x, pooled

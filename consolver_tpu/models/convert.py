@@ -40,6 +40,37 @@ _CLIP_RENAMES: Sequence[Tuple[str, str]] = (
     (r"\.mlp\.fc2\.", ".mlp_fc2."),
 )
 
+# diffusers FluxTransformer2DModel naming -> our flattened module names.
+_FLUX_RENAMES: Sequence[Tuple[str, str]] = (
+    (r"^time_text_embed\.timestep_embedder", "timestep_embedder"),
+    (r"^time_text_embed\.guidance_embedder", "guidance_embedder"),
+    (r"^time_text_embed\.text_embedder", "text_embedder"),
+    (r"\.norm1\.linear\.", ".norm1_linear."),
+    (r"\.norm1_context\.linear\.", ".norm1_context_linear."),
+    (r"\.norm\.linear\.", ".norm_linear."),
+    (r"^norm_out\.linear\.", "norm_out_linear."),
+    (r"\.attn\.to_q\.", ".attn_to_q."),
+    (r"\.attn\.to_k\.", ".attn_to_k."),
+    (r"\.attn\.to_v\.", ".attn_to_v."),
+    (r"\.attn\.add_q_proj\.", ".attn_add_q."),
+    (r"\.attn\.add_k_proj\.", ".attn_add_k."),
+    (r"\.attn\.add_v_proj\.", ".attn_add_v."),
+    (r"\.attn\.norm_q\.", ".attn_norm_q."),
+    (r"\.attn\.norm_k\.", ".attn_norm_k."),
+    (r"\.attn\.norm_added_q\.", ".attn_norm_added_q."),
+    (r"\.attn\.norm_added_k\.", ".attn_norm_added_k."),
+    (r"\.attn\.to_out\.0\.", ".attn_to_out_0."),
+    (r"\.attn\.to_add_out\.", ".attn_to_add_out."),
+    (r"\.ff\.net\.0\.proj\.", ".ff_net_0_proj."),
+    (r"\.ff\.net\.2\.", ".ff_net_2."),
+    (r"\.ff_context\.net\.0\.proj\.", ".ff_context_net_0_proj."),
+    (r"\.ff_context\.net\.2\.", ".ff_context_net_2."),
+)
+
+# In the double-stream attention our q/k/v live under names like
+# "attn_to_q" where diffusers uses "attn.to_q"; single-stream "proj_mlp" /
+# "proj_out" match directly.
+
 # Old-format SD VAE attention naming -> modern diffusers naming.
 _VAE_ATTN_RENAMES: Sequence[Tuple[str, str]] = (
     (r"\.query\.", ".to_q."),
@@ -120,6 +151,11 @@ def convert_vae(state_dict: Mapping[str, Any], dtype=np.float32) -> Dict[str, An
 def convert_clip_text(state_dict: Mapping[str, Any], dtype=np.float32) -> Dict[str, Any]:
     """transformers CLIPTextModel state dict -> ClipTextEncoder params."""
     return convert_state_dict(state_dict, renames=_CLIP_RENAMES, dtype=dtype)
+
+
+def convert_flux(state_dict: Mapping[str, Any], dtype=np.float32) -> Dict[str, Any]:
+    """diffusers FluxTransformer2DModel state dict -> FluxTransformer params."""
+    return convert_state_dict(state_dict, renames=_FLUX_RENAMES, dtype=dtype)
 
 
 def assert_tree_matches(converted: Dict[str, Any], initialized: Dict[str, Any], path=""):

@@ -1,0 +1,182 @@
+"""FLUX-Kontext instructional image-editing pipeline.
+
+TPU-native rebuild of the reference's editing rollout
+(edit_ppo/denoise_diffusion.py:11-176 + the vendored FluxKontextPipeline,
+edit_ppo/pipeline.py:206-1158): T5+CLIP prompt encoding, VAE-encode of the
+reference image, 2x2 latent packing with RoPE ids (ids[...,0]=1 for the
+reference tokens), resolution-dependent mu shift, guidance embeds, then the
+flow-matching denoise — either the learnable FMPPO solver (with trajectory
+recording for PPO) or a baseline FM zoo solver — and VAE decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from consolver_tpu.core import schedules, solver as solver_lib
+from consolver_tpu.models import flux as flux_lib
+from consolver_tpu.pipelines import fm
+from consolver_tpu.policy.factor_net import FactorNet
+
+
+class FluxKontextPipeline:
+    """Bundle of FLUX transformer + T5/CLIP encoders + 16ch VAE.
+
+    All models are in-repo flax modules; weights convert from the hub
+    (models/convert.py, models/t5.convert_t5).
+    """
+
+    def __init__(
+        self,
+        transformer,
+        transformer_params,
+        t5,
+        t5_params,
+        clip,
+        clip_params,
+        vae,
+        vae_params,
+        fm_config: Optional[schedules.FlowMatchConfig] = None,
+        factor_net: Optional[FactorNet] = None,
+        factor_params: Optional[Any] = None,
+        vae_scaling_factor: float = 0.3611,
+        vae_shift_factor: float = 0.1159,
+    ):
+        self.transformer = transformer
+        self.transformer_params = transformer_params
+        self.t5 = t5
+        self.t5_params = t5_params
+        self.clip = clip
+        self.clip_params = clip_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.fm_config = fm_config or schedules.FlowMatchConfig.flux()
+        self.factor_net = factor_net
+        self.factor_params = factor_params
+        self.vae_scaling_factor = vae_scaling_factor
+        self.vae_shift_factor = vae_shift_factor
+        self._denoise_cache = {}
+
+    # ------------------------------------------------------------------
+    def encode_prompt(self, t5_ids, clip_ids):
+        """(T5 joint embeddings, CLIP pooled)  — edit_ppo/denoise_diffusion.py:35-41."""
+        prompt_embeds = self.t5.apply(self.t5_params, t5_ids)
+        _, pooled = self.clip.apply(self.clip_params, clip_ids, return_pooled=True)
+        return prompt_embeds, pooled
+
+    def encode_image(self, image):
+        """Reference image [B,H,W,3] in [-1,1] -> scaled latents NHWC."""
+        mean, _ = self.vae.apply(self.vae_params, image, method=self.vae.encode)
+        return (mean - self.vae_shift_factor) * self.vae_scaling_factor
+
+    def decode_latents(self, latents):
+        img = self.vae.apply(
+            self.vae_params,
+            latents / self.vae_scaling_factor + self.vae_shift_factor,
+            method=self.vae.decode,
+        )
+        return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def _velocity_fn(self, seq_len_target, img_ids, txt_ids, guidance_scale):
+        """Wrap the transformer as velocity_fn(params, packed_target, t, cond):
+        concatenates the conditioning reference tokens, runs the DiT with
+        timestep/1000 (edit_ppo/denoise_diffusion.py:135-145), slices back."""
+
+        def velocity(params, x, t, cond):
+            prompt_embeds, pooled, ref_tokens = cond
+            tokens = jnp.concatenate([x, ref_tokens], axis=1)
+            guidance = jnp.full((x.shape[0],), guidance_scale, jnp.float32)
+            v = self.transformer.apply(
+                params, tokens, prompt_embeds, pooled, t, guidance, img_ids, txt_ids
+            )
+            return v[:, : seq_len_target]
+
+        return velocity
+
+    def denoise_fn(
+        self,
+        height: int,
+        width: int,
+        seq_txt: int,
+        num_inference_steps: int,
+        guidance_scale: float,
+        solver: str = "fmppo",
+        record: bool = True,
+    ):
+        """Build/caches the jitted denoise fn for a (resolution, steps,
+        solver) combination.  mu follows the target-image sequence length
+        (edit_ppo/denoise_diffusion.py:75-84)."""
+        lh, lw = height // 8, width // 8  # vae downsampling
+        seq_len = (lh // 2) * (lw // 2)
+        key = (height, width, seq_txt, num_inference_steps, guidance_scale, solver, record)
+        if key in self._denoise_cache:
+            return self._denoise_cache[key]
+
+        mu = schedules.calculate_flux_mu(
+            seq_len,
+            self.fm_config.base_image_seq_len,
+            self.fm_config.max_image_seq_len,
+            self.fm_config.base_shift,
+            self.fm_config.max_shift,
+        )
+        img_ids = jnp.concatenate(
+            [
+                flux_lib.latent_image_ids(lh, lw),
+                flux_lib.latent_image_ids(lh, lw, offset=1.0),
+            ],
+            axis=0,
+        )
+        txt_ids = jnp.zeros((seq_txt, 3))
+        velocity = self._velocity_fn(seq_len, img_ids, txt_ids, guidance_scale)
+        if solver == "fmppo":
+            fn = fm.make_fm_denoise_fn(
+                velocity, self.fm_config, self.factor_net, num_inference_steps,
+                mu=mu, record_trajectory=record,
+            )
+        else:
+            base = fm.make_fm_baseline_denoise_fn(
+                velocity, self.fm_config, solver, num_inference_steps, mu=mu
+            )
+            fn = lambda mp, fp, k, noise, cond: (base(mp, noise, cond), None)
+        self._denoise_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        key: jax.Array,
+        t5_ids: jax.Array,
+        clip_ids: jax.Array,
+        ref_image: jax.Array,
+        noise: jax.Array,
+        num_inference_steps: int = 5,
+        guidance_scale: float = 2.5,
+        solver: str = "fmppo",
+        decode: bool = True,
+    ):
+        """ref_image [B,H,W,3] in [-1,1]; noise [B,h,w,16] latent noise.
+        Returns (edited image or final latents, trajectory)."""
+        b, lh, lw, _ = noise.shape
+        height, width = lh * 8, lw * 8
+        prompt_embeds, pooled = self.encode_prompt(t5_ids, clip_ids)
+        ref_latents = self.encode_image(ref_image)
+        ref_tokens = flux_lib.pack_latents(ref_latents)
+        packed_noise = flux_lib.pack_latents(noise)
+
+        denoise = self.denoise_fn(
+            height, width, int(t5_ids.shape[1]), num_inference_steps,
+            guidance_scale, solver,
+        )
+        cond = (prompt_embeds, pooled, ref_tokens)
+        packed_out, traj = denoise(
+            self.transformer_params, self.factor_params, key, packed_noise, cond
+        )
+        latents = flux_lib.unpack_latents(packed_out, lh, lw)
+        if not decode:
+            return latents, traj
+        return self.decode_latents(latents), traj

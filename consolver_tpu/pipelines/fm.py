@@ -1,0 +1,202 @@
+"""Flow-matching denoise pipelines: the learnable FMPPO solver and the
+training-free FM baseline zoo.
+
+TPU-native rebuild of edit_ppo/scheduler_fmppo.py (learnable multistep over
+the FM Euler update) and edit_ppo/scheduler_fm.py (euler / heun / dpm-solver
+/ dpm-solver-multistep baselines behind one switch, :405-484).  Same design
+as the DDPM-side pipelines: sigma ladders and all per-step coefficients are
+static, the loop is one jitted scan (learnable path) or unrolled traced loop
+(baselines), and the model is abstracted as ``velocity_fn(params, x,
+timestep, cond) -> v``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from consolver_tpu.core import schedules, solver
+from consolver_tpu.pipelines.t2i import Trajectory
+from consolver_tpu.policy.factor_net import FactorNet
+
+FM_SOLVERS = ("euler", "heun", "dpm-solver", "dpm-solver-multistep")
+
+
+def make_fm_denoise_fn(
+    velocity_fn: Callable[..., jax.Array],
+    fm_config: schedules.FlowMatchConfig,
+    factor_net: Optional[FactorNet],
+    num_inference_steps: int,
+    mu: Optional[float] = None,
+    record_trajectory: bool = True,
+):
+    """Learnable-FM denoise scan (FMPPOScheduler.step semantics,
+    edit_ppo/scheduler_fmppo.py:306-455).
+
+    velocity_fn: (params, x, timestep[B] (= sigma*1000), cond) -> velocity.
+    Returned fn: (model_params, factor_params, key, noise, cond) ->
+    (final latents, Trajectory or None).  conds x = [sigma_t, sigma_next]
+    (:383); update x <- x + dt*v_hat with dt = sigma_next - sigma_t (:429).
+    """
+    if factor_net is None:
+        order_dim, scaler_dim, action_dims = 1, 0, 1
+    else:
+        order_dim = factor_net.config.order_dim
+        scaler_dim = factor_net.config.scaler_dim
+        action_dims = factor_net.config.action_dims
+    use_conv = factor_net is not None and factor_net.config.use_conv
+
+    sigmas, timesteps = schedules.fm_sigmas(fm_config, num_inference_steps, mu=mu)
+    sig_t = jnp.asarray(sigmas[:-1])
+    sig_next = jnp.asarray(sigmas[1:])
+    ts = jnp.asarray(timesteps)
+
+    @jax.jit
+    def denoise(model_params, factor_params, key, noise, cond):
+        batch = noise.shape[0]
+        state = solver.init_state(batch, order_dim, noise.shape[1:])
+
+        def body(carry, xs):
+            st, x, k = carry
+            t, s_t, s_next = xs
+            v = velocity_fn(
+                model_params, x, jnp.broadcast_to(t, (batch,)), cond
+            ).astype(jnp.float32)
+            x32 = x.astype(jnp.float32)
+
+            conds_x = jnp.tile(jnp.stack([s_t, s_next])[None], (batch, 1))
+            st = solver.push(st, v)
+            if factor_net is not None:
+                k, sub = jax.random.split(k)
+                conds = {"x": conds_x, "epsilon": st.ets}
+                actions, probs = factor_net.sample_action(factor_params, sub, conds)
+            else:
+                actions = jnp.zeros((batch, action_dims), jnp.float32)
+                probs = jnp.ones((batch, action_dims), jnp.float32)
+
+            order_a, scale_a, _ = solver.split_actions(actions, order_dim, scaler_dim)
+            coeffs = solver.normalized_coefficients(
+                order_a.astype(jnp.float32), st.num_ets, order_dim
+            )
+            eff = solver.combine(st, coeffs)
+            eff, x32 = solver.apply_scalers(eff, x32, scale_a.astype(jnp.float32))
+            masks = solver.warmup_masks(st.num_ets, order_dim, action_dims, batch)
+
+            x_new = solver.fm_euler_update(x32, eff, s_next - s_t).astype(x.dtype)
+            record = (conds_x, actions, probs, masks) + ((st.ets,) if use_conv else ())
+            return (st, x_new, k), record
+
+        (_, x, _), records = jax.lax.scan(
+            body, (state, noise, key), (ts, sig_t, sig_next)
+        )
+        if not record_trajectory:
+            return x, None
+
+        def to_traj(a):
+            return jnp.swapaxes(a[1:], 0, 1)
+
+        traj = Trajectory(
+            conds_x=to_traj(records[0]),
+            actions=to_traj(records[1]),
+            probs=to_traj(records[2]),
+            masks=to_traj(records[3]),
+            conds_eps=to_traj(records[4]) if use_conv else None,
+        )
+        return x, traj
+
+    return denoise
+
+
+class FmBaseline:
+    """Training-free FM solver zoo (edit_ppo/scheduler_fm.py:405-484):
+    euler, heun (2-stage over sigma pairs), dpm-solver (2-stage), and
+    dpm-solver-multistep.  Python-level state; use inside an unrolled
+    traced loop."""
+
+    def __init__(
+        self,
+        fm_config: schedules.FlowMatchConfig,
+        num_inference_steps: int,
+        solver_type: str = "euler",
+        mu: Optional[float] = None,
+    ):
+        if solver_type not in FM_SOLVERS:
+            raise ValueError(f"Unknown FM solver {solver_type!r}; one of {FM_SOLVERS}")
+        self.type = solver_type
+        self.sigmas, self.timesteps = schedules.fm_sigmas(
+            fm_config, num_inference_steps, mu=mu
+        )
+        self.reset()
+
+    def reset(self):
+        self.prev_dt = None
+        self.prev_sample = None
+        self.prev_model_output = None
+
+    def step(self, i: int, x, v):
+        sig = self.sigmas
+        x = x.astype(jnp.float32)
+        if self.type == "euler":
+            dt = float(sig[i + 1] - sig[i])
+            out = x + dt * v
+        elif self.type == "heun":
+            # 2-stage over sigma pairs: predictor jumps two sigmas, the next
+            # call averages the two velocities (scheduler_fm.py:412-430)
+            if i % 2 == 0:
+                nxt = sig[i + 2] if i + 2 < len(sig) else sig[-1]
+                dt = float(nxt - sig[i])
+                self.prev_dt, self.prev_sample, self.prev_model_output = dt, x, v
+                out = x + dt * v
+            else:
+                out = self.prev_sample + 0.5 * self.prev_dt * (
+                    self.prev_model_output + v
+                )
+        elif self.type == "dpm-solver":
+            # 2-stage: predictor takes one sigma, the corrector re-integrates
+            # the combined interval with the midpoint velocity (:431-452)
+            if i % 2 == 0:
+                dt = float(sig[i + 1] - sig[i])
+                self.prev_dt, self.prev_sample, self.prev_model_output = dt, x, v
+                out = x + dt * v
+            else:
+                dt = self.prev_dt + float(sig[i + 1] - sig[i])
+                out = self.prev_sample + dt * v
+        else:  # dpm-solver-multistep (:454-484)
+            if i == 0:
+                dt = float(sig[i + 1] - sig[i])
+                self.prev_dt, self.prev_sample = dt, x
+                out = x + dt * v
+            else:
+                dt = self.prev_dt + float(sig[i + 1] - sig[i])
+                out = self.prev_sample + dt * v
+                self.prev_dt = float(sig[i + 1] - sig[i])
+                self.prev_sample = x
+        return out
+
+
+def make_fm_baseline_denoise_fn(
+    velocity_fn: Callable[..., jax.Array],
+    fm_config: schedules.FlowMatchConfig,
+    solver_type: str,
+    num_inference_steps: int,
+    mu: Optional[float] = None,
+):
+    """Jitted unrolled FM baseline denoise: (model_params, noise, cond) ->
+    final latents."""
+
+    @jax.jit
+    def denoise(model_params, noise, cond):
+        s = FmBaseline(fm_config, num_inference_steps, solver_type, mu=mu)
+        x = noise
+        batch = x.shape[0]
+        for i, t in enumerate(s.timesteps):
+            v = velocity_fn(
+                model_params, x, jnp.full((batch,), float(t), jnp.float32), cond
+            ).astype(jnp.float32)
+            x = s.step(i, x, v).astype(noise.dtype)
+        return x
+
+    return denoise

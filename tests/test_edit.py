@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from consolver_tpu.core import schedules
+from consolver_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
+from consolver_tpu.models.flux import FluxConfig, FluxTransformer
+from consolver_tpu.models.t5 import T5Config, T5Encoder
+from consolver_tpu.models.vae import AutoencoderKL, VaeConfig
+from consolver_tpu.pipelines.edit import FluxKontextPipeline
+from consolver_tpu.policy import FactorNet, FactorNetConfig
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    fcfg = FluxConfig.tiny()  # in_channels=16 => latent channels 4
+    transformer = FluxTransformer(fcfg)
+    keys = jax.random.split(jax.random.key(0), 8)
+
+    b, lh, lw, s_txt = 1, 8, 8, 4
+    img = jnp.zeros((b, (lh // 2) * (lw // 2) * 2, fcfg.in_channels))
+    t5_cfg = T5Config(vocab_size=64, d_model=fcfg.joint_text_dim, d_kv=8,
+                      d_ff=64, num_layers=1, num_heads=4)
+    t5 = T5Encoder(t5_cfg)
+    t5_params = t5.init(keys[0], jnp.zeros((1, s_txt), jnp.int32))
+
+    clip_cfg = ClipTextConfig(vocab_size=64, hidden_size=fcfg.pooled_text_dim,
+                              num_layers=1, num_heads=2, intermediate_size=32)
+    clip = ClipTextEncoder(clip_cfg)
+    clip_params = clip.init(keys[1], jnp.zeros((1, s_txt), jnp.int32))
+
+    vae = AutoencoderKL(VaeConfig(block_out_channels=(8, 16), layers_per_block=1,
+                                  norm_num_groups=4, latent_channels=4))
+    vae_params = vae.init(keys[2], jnp.zeros((1, 16, 16, 3)), keys[3])
+
+    img_ids = jnp.zeros((img.shape[1], 3))
+    txt_ids = jnp.zeros((s_txt, 3))
+    tr_params = transformer.init(
+        keys[4], img, jnp.zeros((b, s_txt, fcfg.joint_text_dim)),
+        jnp.zeros((b, fcfg.pooled_text_dim)), jnp.ones((b,)), jnp.ones((b,)),
+        img_ids, txt_ids,
+    )
+
+    fnet_cfg = FactorNetConfig(order_dim=2, scaler_dim=0, mu_dim=0,
+                               num_actions=11, family="fm")
+    fnet = FactorNet(fnet_cfg)
+    return FluxKontextPipeline(
+        transformer, tr_params, t5, t5_params, clip, clip_params, vae, vae_params,
+        factor_net=fnet, factor_params=fnet.init(keys[5]),
+    )
+
+
+def test_fmppo_edit_rollout(pipe):
+    key = jax.random.key(1)
+    t5_ids = jnp.ones((1, 4), jnp.int32)
+    clip_ids = jnp.ones((1, 4), jnp.int32)
+    ref_image = jnp.zeros((1, 16, 16, 3))
+    noise = jax.random.normal(jax.random.key(2), (1, 8, 8, 4))
+    image, traj = pipe(key, t5_ids, clip_ids, ref_image, noise,
+                       num_inference_steps=3)
+    assert image.shape == (1, 16, 16, 3)
+    assert float(image.min()) >= 0 and float(image.max()) <= 1
+    assert traj.actions.shape == (1, 2, 1)
+    assert bool(jnp.isfinite(image).all())
+
+
+def test_baseline_euler_edit(pipe):
+    t5_ids = jnp.ones((1, 4), jnp.int32)
+    clip_ids = jnp.ones((1, 4), jnp.int32)
+    ref_image = jnp.zeros((1, 16, 16, 3))
+    noise = jax.random.normal(jax.random.key(3), (1, 8, 8, 4))
+    latents, traj = pipe(
+        jax.random.key(4), t5_ids, clip_ids, ref_image, noise,
+        num_inference_steps=3, solver="euler", decode=False,
+    )
+    assert latents.shape == noise.shape
+    assert traj is None
+    assert bool(jnp.isfinite(latents).all())
+
+
+def test_reference_image_conditions_output(pipe):
+    t5_ids = jnp.ones((1, 4), jnp.int32)
+    clip_ids = jnp.ones((1, 4), jnp.int32)
+    noise = jax.random.normal(jax.random.key(5), (1, 8, 8, 4))
+    out_a, _ = pipe(jax.random.key(6), t5_ids, clip_ids,
+                    jnp.zeros((1, 16, 16, 3)), noise, num_inference_steps=2,
+                    solver="euler", decode=False)
+    out_b, _ = pipe(jax.random.key(6), t5_ids, clip_ids,
+                    0.9 * jnp.ones((1, 16, 16, 3)), noise, num_inference_steps=2,
+                    solver="euler", decode=False)
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))

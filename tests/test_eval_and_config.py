@@ -1,0 +1,135 @@
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from consolver_tpu.configs.config import ExperimentConfig, apply_overrides, parse_cli
+from consolver_tpu.eval import fid
+from consolver_tpu.eval.consistency import evaluate_consistency, pair_images
+from consolver_tpu.eval.gen_sweep import generate_sweep, save_png
+from consolver_tpu.data.teacher_gen import generate_teacher_set
+from consolver_tpu.data.group import TeacherDataset
+from consolver_tpu.rewards.metrics import image_psnr_reward
+
+
+class TestConfig:
+    def test_presets_match_reference_scripts(self):
+        sd = ExperimentConfig.sd15_ppo()
+        assert sd.factor_net.order_dim == 4 and sd.factor_net.scaler_dim == 0
+        assert sd.factor_net.num_actions == 11
+        assert sd.train.ppo.learning_rate == 1e-4
+        assert sd.train.ppo.ppo_epochs == 1
+        assert sd.reward.reward_type == "depth"
+        assert sd.data.batch_size == 80
+
+        fx = ExperimentConfig.flux_ppo()
+        assert fx.factor_net.order_dim == 2 and fx.factor_net.family == "fm"
+        assert fx.train.ppo.ppo_epochs == 4
+        assert fx.train.guidance_scale == 2.5
+        assert fx.train.max_inference_steps == 6
+        assert fx.reward.reward_type == "dino"
+
+    def test_overrides(self):
+        cfg = apply_overrides(
+            ExperimentConfig(),
+            {"train.ppo.learning_rate": "3e-4", "data.batch_size": "16",
+             "model.family": "flux", "data.shuffle": "true"},
+        )
+        assert cfg.train.ppo.learning_rate == 3e-4
+        assert cfg.data.batch_size == 16
+        assert cfg.model.family == "flux"
+        assert cfg.data.shuffle is True
+
+    def test_unknown_field_raises(self):
+        with pytest.raises(KeyError):
+            apply_overrides(ExperimentConfig(), {"train.nonexistent": "1"})
+
+    def test_cli(self):
+        cfg = parse_cli(["--preset", "flux_ppo", "--set",
+                         "train.max_train_steps=5"])
+        assert cfg.train.max_train_steps == 5
+        assert cfg.factor_net.family == "fm"
+
+
+class TestFid:
+    def test_identical_distributions_zero(self):
+        rng = np.random.default_rng(0)
+        feats = rng.standard_normal((500, 16))
+        mu, cov = fid.feature_statistics(feats)
+        assert abs(fid.frechet_distance(mu, cov, mu, cov)) < 1e-6
+
+    def test_shifted_distributions(self):
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((500, 8))
+        b = rng.standard_normal((500, 8)) + 2.0
+        mu1, c1 = fid.feature_statistics(a)
+        mu2, c2 = fid.feature_statistics(b)
+        d = fid.frechet_distance(mu1, c1, mu2, c2)
+        assert d > 8 * 3.0  # ~ ||2||^2 per dim
+
+    def test_compute_fid_stream(self):
+        encode = lambda imgs: np.asarray(imgs).reshape(len(imgs), -1)[:, :8]
+        rng = np.random.default_rng(2)
+        gen = [rng.random((4, 2, 2, 3)).astype(np.float32) for _ in range(4)]
+        d_same = fid.compute_fid(encode, gen, gen)
+        assert abs(d_same) < 1e-6
+
+
+class TestEvalHarness:
+    def test_pairing_and_stats(self, tmp_path):
+        a_dir, b_dir = tmp_path / "gen", tmp_path / "ref"
+        a_dir.mkdir(); b_dir.mkdir()
+        rng = np.random.default_rng(3)
+        for i in range(5):
+            img = rng.random((8, 8, 3)).astype(np.float32)
+            save_png(str(a_dir / f"{i}.png"), img)
+            save_png(str(b_dir / f"{i}.png"), img if i < 3 else rng.random((8, 8, 3)))
+        # extra unpaired file ignored
+        save_png(str(a_dir / "orphan.png"), rng.random((8, 8, 3)))
+
+        assert len(pair_images(str(a_dir), str(b_dir))) == 5
+        stats = evaluate_consistency(
+            image_psnr_reward, str(a_dir), str(b_dir), batch_size=2,
+            output_json=str(tmp_path / "stats.json"),
+        )
+        assert stats["num_scored"] == 5
+        assert stats["mean"] > 0
+        saved = json.loads((tmp_path / "stats.json").read_text())
+        assert saved["num_pairs"] == 5
+
+    def test_generate_sweep(self, tmp_path):
+        def gen(key, prompts):
+            v = jax.random.uniform(key, (len(prompts), 4, 4, 3))
+            return v
+
+        files = generate_sweep(gen, ["a", "b", "c"], str(tmp_path), batch_size=2, seed=7)
+        assert len(files) == 3
+        assert (tmp_path / "000002.txt").read_text() == "c"
+        # deterministic per-batch seeding: rerun produces identical bytes
+        files2 = generate_sweep(gen, ["a", "b", "c"], str(tmp_path / "again"),
+                                batch_size=2, seed=7)
+        a1 = (tmp_path / "000000.png").read_bytes()
+        a2 = (tmp_path / "again" / "000000.png").read_bytes()
+        assert a1 == a2
+
+
+class TestTeacherGen:
+    def test_roundtrip_with_dataset(self, tmp_path):
+        def denoise(key, noise, ids):
+            return noise * 0.5  # stand-in teacher
+
+        ids = np.ones((5, 4), np.int64)
+        n = generate_teacher_set(
+            denoise, ids, str(tmp_path), noise_shape=(2, 2, 4), batch_size=2, seed=0
+        )
+        assert n == 5
+        ds = TeacherDataset(str(tmp_path))
+        assert len(ds) == 5
+        sample = ds[0]
+        assert sample["noise"].shape == (2, 2, 4)
+        np.testing.assert_allclose(sample["latent"], sample["noise"] * 0.5)
+        batch = next(ds.batches(4))
+        assert batch["noise"].shape == (4, 2, 2, 4)

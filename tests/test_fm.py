@@ -1,0 +1,140 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from consolver_tpu.core import schedules
+from consolver_tpu.pipelines import fm
+from consolver_tpu.policy import FactorNet, FactorNetConfig
+
+CFG = schedules.FlowMatchConfig(shift=1.0)
+
+
+def const_velocity(v0):
+    def fn(params, x, t, cond):
+        return jnp.broadcast_to(v0, x.shape)
+
+    return fn
+
+
+class TestFmBaselines:
+    def test_euler_exact_for_const_velocity(self):
+        """x(sigma) = x0 + (sigma-sigma0) v is exact for constant v; Euler
+        must land on it regardless of step count."""
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+        v0 = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+        for steps in [3, 5, 9]:
+            denoise = fm.make_fm_baseline_denoise_fn(
+                const_velocity(v0), CFG, "euler", steps
+            )
+            out = denoise(None, x0, None)
+            solver = fm.FmBaseline(CFG, steps, "euler")
+            total_dt = solver.sigmas[-1] - solver.sigmas[0]
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(x0 + total_dt * v0), rtol=1e-4, atol=1e-5
+            )
+
+    @pytest.mark.parametrize("solver_type", fm.FM_SOLVERS)
+    def test_all_types_run(self, solver_type):
+        v0 = jnp.ones((1, 4))
+        denoise = fm.make_fm_baseline_denoise_fn(
+            const_velocity(v0), CFG, solver_type, 5
+        )
+        out = denoise(None, jnp.zeros((1, 4)), None)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_multistep_dpm_const_v_exact(self):
+        """With constant velocity the multistep correction preserves
+        exactness: endpoint = x0 + (sigma_end - sigma_0) * v."""
+        v0 = jnp.full((1, 4), 2.0)
+        denoise = fm.make_fm_baseline_denoise_fn(
+            const_velocity(v0), CFG, "dpm-solver-multistep", 5
+        )
+        out = denoise(None, jnp.zeros((1, 4)), None)
+        solver = fm.FmBaseline(CFG, 5, "dpm-solver-multistep")
+        expected = (solver.sigmas[-1] - solver.sigmas[0]) * 2.0
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4)
+
+    def test_heun_improves_on_euler(self):
+        """Quadratic-in-sigma velocity: heun (trapezoid over pairs) should
+        beat euler at matched model-call budget."""
+
+        def vel(params, x, t, cond):
+            s = t / 1000.0
+            return (s**2)[:, None] * jnp.ones_like(x)
+
+        # analytic integral of s^2 from 1 to 0 = -1/3
+        target = -1.0 / 3.0
+        e_out = fm.make_fm_baseline_denoise_fn(vel, CFG, "euler", 6)(
+            None, jnp.zeros((1, 1)), None
+        )
+        h_out = fm.make_fm_baseline_denoise_fn(vel, CFG, "heun", 6)(
+            None, jnp.zeros((1, 1)), None
+        )
+        e_err = abs(float(e_out[0, 0]) - target)
+        h_err = abs(float(h_out[0, 0]) - target)
+        assert h_err < e_err, (h_err, e_err)
+
+
+class TestFmPpo:
+    def test_ddim_like_passthrough_equals_euler(self):
+        """factor_net=None (order 1) must reduce the learnable FM scan to
+        plain Euler."""
+        rng = np.random.default_rng(1)
+        v0 = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+        noise = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+        learn = fm.make_fm_denoise_fn(const_velocity(v0), CFG, None, 5)
+        base = fm.make_fm_baseline_denoise_fn(const_velocity(v0), CFG, "euler", 5)
+        out_l, traj = learn(None, None, jax.random.key(0), noise, None)
+        out_b = base(None, noise, None)
+        np.testing.assert_allclose(
+            np.asarray(out_l), np.asarray(out_b), rtol=1e-5, atol=1e-6
+        )
+        assert traj.actions.shape == (2, 4, 1)
+
+    def test_fmppo_production_config(self):
+        """FLUX production config: order_dim=2, scaler_dim=0, mu_dim=0,
+        11 actions, fm family, dynamic shift (edit_ppo/run_ppo.sh)."""
+        fcfg = FactorNetConfig(
+            order_dim=2, scaler_dim=0, mu_dim=0, num_actions=11, family="fm"
+        )
+        fnet = FactorNet(fcfg)
+        fparams = fnet.init(jax.random.key(0))
+        flux_cfg = schedules.FlowMatchConfig.flux()
+        mu = schedules.calculate_flux_mu(1024)
+
+        def vel(params, x, t, cond):
+            return -x * 0.5
+
+        denoise = fm.make_fm_denoise_fn(vel, flux_cfg, fnet, 5, mu=mu)
+        noise = jax.random.normal(jax.random.key(1), (3, 16, 8))
+        out, traj = denoise(None, fparams, jax.random.key(2), noise, None)
+        assert out.shape == noise.shape
+        assert bool(jnp.isfinite(out).all())
+        assert traj.actions.shape == (3, 4, 1)
+        # conds carry [sigma_t, sigma_next] of recorded steps
+        sigmas, _ = schedules.fm_sigmas(flux_cfg, 5, mu=mu)
+        np.testing.assert_allclose(
+            np.asarray(traj.conds_x[0, :, 0]), sigmas[1:-1], rtol=1e-5
+        )
+        # masks: order_dim=2 => first recorded step already has full history
+        np.testing.assert_array_equal(np.asarray(traj.masks), 1.0)
+
+    def test_mu_dim_action_recorded_but_unused(self):
+        """mu_dim adds an action dimension that is carried for PPO but does
+        not affect the update (scheduler_fmppo.py:406-410)."""
+        fcfg = FactorNetConfig(
+            order_dim=2, scaler_dim=0, mu_dim=1, num_actions=11, family="fm"
+        )
+        fnet = FactorNet(fcfg)
+        fparams = fnet.init(jax.random.key(0))
+
+        def vel(params, x, t, cond):
+            return -x
+
+        denoise = fm.make_fm_denoise_fn(vel, CFG, fnet, 4)
+        noise = jax.random.normal(jax.random.key(1), (1, 8))
+        out, traj = denoise(None, fparams, jax.random.key(2), noise, None)
+        assert traj.actions.shape == (1, 3, 2)  # order(1) + mu(1)
+        assert bool(jnp.isfinite(out).all())

@@ -1,0 +1,231 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from consolver_tpu.core import schedules
+from consolver_tpu.pipelines import solver_zoo
+from consolver_tpu.pipelines.solver_zoo import (
+    AMED_SCHEDULES,
+    Ddim,
+    Deis,
+    DpmMultistep,
+    IPndm,
+    UniPC,
+    amed_solver,
+    make_baseline_denoise_fn,
+    make_solver,
+)
+
+SCHED = schedules.DiffusionSchedule.sd15()
+
+
+def const_eps_apply(e0):
+    """A 'UNet' that predicts a constant epsilon (ignores x and context)."""
+
+    def apply(params, x, t, ctx):
+        return jnp.broadcast_to(e0, x.shape)
+
+    return apply
+
+
+def run_solver(solver, x, eps_fn):
+    for i, t in enumerate(solver.timesteps):
+        eps = eps_fn(x, int(t))
+        x = solver.step(i, x, eps)
+    return x
+
+
+class TestConstEpsExactness:
+    """With a constant epsilon prediction the probability-flow trajectory is
+    exactly DDIM-reachable, and every multistep correction term vanishes —
+    so each solver must land exactly on alpha_end*x0 + sigma_end*e0 for its
+    own terminal node."""
+
+    def _check(self, solver, sigma_end_over_alpha=None, abar_end=None):
+        rng = np.random.default_rng(0)
+        x0 = rng.standard_normal((2, 4, 4)).astype(np.float32)
+        e0 = rng.standard_normal((2, 4, 4)).astype(np.float32)
+        t_start = int(solver.timesteps[0])
+        abar_s = SCHED.alphas_cumprod[t_start]
+        x_init = abar_s**0.5 * x0 + (1 - abar_s) ** 0.5 * e0
+
+        x_end = run_solver(solver, jnp.asarray(x_init), lambda x, t: jnp.asarray(e0))
+
+        if abar_end is None:
+            sigma = solver.sigmas[-1]
+            alpha_end = 1.0 / np.sqrt(1 + sigma**2)
+            sigma_end = sigma * alpha_end
+        else:
+            alpha_end = abar_end**0.5
+            sigma_end = (1 - abar_end) ** 0.5
+        expected = alpha_end * x0 + sigma_end * e0
+        np.testing.assert_allclose(np.asarray(x_end), expected, rtol=2e-4, atol=2e-4)
+
+    def test_multistep_dpm(self):
+        self._check(DpmMultistep(SCHED, 8, algorithm="dpmsolver",
+                                 final_sigmas_type="sigma_min"))
+
+    def test_dpmpp(self):
+        self._check(DpmMultistep(SCHED, 8, algorithm="dpmsolver++",
+                                 final_sigmas_type="sigma_min"))
+
+    def test_deis(self):
+        self._check(Deis(SCHED, 8))
+
+    def test_unipc(self):
+        self._check(UniPC(SCHED, 8))
+
+    def test_ddim(self):
+        self._check(Ddim(SCHED, 8), abar_end=SCHED.final_alpha_cumprod)
+
+    def test_ipndm(self):
+        self._check(IPndm(SCHED, 8), abar_end=SCHED.final_alpha_cumprod)
+
+
+class TestFirstOrderEquivalence:
+    def test_dpm1_equals_ddim_update(self):
+        """First-order eps-space DPM-Solver == the DDIM x0-form update."""
+        solver = DpmMultistep(SCHED, 8, algorithm="dpmsolver",
+                              solver_order=1, final_sigmas_type="sigma_min")
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 4)).astype(np.float32))
+        eps = jnp.asarray(rng.standard_normal((1, 4)).astype(np.float32))
+        out = solver.step(0, x, eps)
+
+        s_s, s_t = solver.sigmas[0], solver.sigmas[1]
+        a_s = 1 / np.sqrt(1 + s_s**2)
+        a_t = 1 / np.sqrt(1 + s_t**2)
+        x0 = (np.asarray(x) - s_s * a_s * np.asarray(eps)) / a_s
+        expected = a_t * x0 + s_t * a_t * np.asarray(eps)
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+
+class TestConvergence:
+    """Against a state-dependent epsilon model, few-step solvers must approach
+    a dense-step DDIM reference, and the 2nd-order solvers must beat DDIM."""
+
+    @staticmethod
+    def eps_model(x, t):
+        # a well-posed 'denoiser': predicts x0_hat = tanh(x), eps consistent
+        # with the forward process at t
+        abar = SCHED.alphas_cumprod[int(t)]
+        return (x - abar**0.5 * jnp.tanh(x)) / (1 - abar) ** 0.5
+
+    def _reference(self, x_init):
+        solver = Ddim(SCHED, 400)
+        return np.asarray(run_solver(solver, x_init, self.eps_model))
+
+    def test_order2_beats_order1_same_ladder(self):
+        """Order-2 corrections must help on the SAME discretization ladder
+        (cross-ladder comparisons are dominated by the final sigma_min gap)."""
+        rng = np.random.default_rng(2)
+        x_init = jnp.asarray(rng.standard_normal((1, 8)).astype(np.float32))
+        ref = self._reference(x_init)
+
+        def err(solver):
+            out = np.asarray(run_solver(solver, x_init, self.eps_model))
+            return float(np.abs(out - ref).mean())
+
+        e_o1 = err(DpmMultistep(SCHED, 16, algorithm="dpmsolver",
+                                solver_order=1, final_sigmas_type="sigma_min"))
+        e_o2 = err(DpmMultistep(SCHED, 16, algorithm="dpmsolver",
+                                final_sigmas_type="sigma_min"))
+        e_deis = err(Deis(SCHED, 16))
+        assert e_o2 < e_o1, (e_o2, e_o1)
+        assert e_deis < e_o1, (e_deis, e_o1)
+        # sanity bounds for the rest of the zoo
+        for s in [Ddim(SCHED, 8), UniPC(SCHED, 8), IPndm(SCHED, 8)]:
+            assert err(s) < 0.5
+
+    def test_unip_equals_dpmpp_except_final_ramp(self):
+        """UniP (bh2, order 2, corrector off) is algebraically identical to
+        dpm++ midpoint multistep on the same ladder; the only deviation is
+        UniPC's faithful final-step order ramp-down."""
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((1, 8)).astype(np.float32))
+        u = UniPC(SCHED, 12)
+        d = DpmMultistep(SCHED, 12, algorithm="dpmsolver++",
+                         final_sigmas_type="sigma_min", lower_order_final=False)
+        xu = xd = x
+        for i in range(11):  # all but the final step
+            u.last_x = None  # disable corrector
+            t = int(u.timesteps[i])
+            xu = u.step(i, xu, self.eps_model(xu, t))
+            xd = d.step(i, xd, self.eps_model(xd, t))
+            np.testing.assert_allclose(
+                np.asarray(xu), np.asarray(xd), rtol=1e-5, atol=1e-5
+            )
+
+    def test_more_steps_converge(self):
+        rng = np.random.default_rng(3)
+        x_init = jnp.asarray(rng.standard_normal((1, 8)).astype(np.float32))
+        ref = self._reference(x_init)
+        errs = []
+        for steps in [5, 10, 20]:
+            out = np.asarray(
+                run_solver(
+                    DpmMultistep(SCHED, steps, algorithm="dpmsolver",
+                                 final_sigmas_type="sigma_min"),
+                    x_init, self.eps_model,
+                )
+            )
+            errs.append(float(np.abs(out - ref).mean()))
+        assert errs[2] < errs[0]
+
+
+class TestAmed:
+    def test_schedule_snap(self):
+        solver = amed_solver(SCHED, 4)
+        base = AMED_SCHEDULES[4]["amed"]
+        ts = solver.timesteps
+        assert len(ts) == 4
+        # even indices keep the table values
+        assert ts[0] == base[0] and ts[2] == base[2]
+        # odd index snaps within (t_{i+1}, t_{i-1})
+        assert base[2] < ts[1] < base[0]
+        # time_scale > 1 at index 1 scales sigma up => larger timestep
+        assert ts[1] >= base[1]
+
+    def test_runs_all_published_step_counts(self):
+        rng = np.random.default_rng(4)
+        for steps in AMED_SCHEDULES:
+            solver = amed_solver(SCHED, steps)
+            x = jnp.asarray(rng.standard_normal((1, 4)).astype(np.float32))
+            out = run_solver(solver, x, lambda x, t: jnp.tanh(x))
+            assert bool(jnp.isfinite(out).all())
+
+    def test_unpublished_step_count_raises(self):
+        with pytest.raises(ValueError):
+            amed_solver(SCHED, 5)
+
+
+class TestZooPipeline:
+    @pytest.mark.parametrize("name", solver_zoo.SOLVERS)
+    def test_jitted_denoise(self, name):
+        steps = 4 if name == "amed" else 5
+        e0 = jnp.asarray(np.random.default_rng(5).standard_normal((1, 8, 8, 4)),
+                         jnp.float32)
+        denoise = make_baseline_denoise_fn(
+            const_eps_apply(e0), SCHED, name, steps, guidance_scale=3.0
+        )
+        noise = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        out = denoise(None, noise, jnp.zeros((1, 4, 8)), jnp.zeros((1, 4, 8)))
+        assert out.shape == noise.shape
+        assert bool(jnp.isfinite(out).all())
+
+    def test_ipndm_calls_model_once_per_schedule_entry(self):
+        calls = []
+
+        def counting_apply(params, x, t, ctx):
+            calls.append(int(np.asarray(t)[0]))
+            return jnp.zeros_like(x)
+
+        solver = IPndm(SCHED, 5)
+        x = jnp.zeros((1, 4))
+        with jax.disable_jit():
+            for i, t in enumerate(solver.timesteps):
+                eps = counting_apply(None, x, jnp.full((1,), int(t)), None)
+                x = solver.step(i, x, eps)
+        # 6 calls for 5 steps (duplicated warmup entry)
+        assert len(calls) == 6
