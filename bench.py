@@ -31,7 +31,7 @@ def main():
     from consolver_tpu.pipelines.t2i import make_denoise_fn
     from consolver_tpu.policy import FactorNet, FactorNetConfig
 
-    batch = 4
+    batch = 8
     num_steps = 8
     height = width = 64  # latent 64x64 => image 512x512
 
@@ -85,9 +85,10 @@ def main():
     ctx = jax.random.normal(jax.random.key(5), (batch, 77, 768), jnp.bfloat16)
     uncond = jax.random.normal(jax.random.key(6), (batch, 77, 768), jnp.bfloat16)
 
-    # warmup / compile
+    # warmup / compile; a host read is the only reliable sync point on the
+    # tunneled TPU platform (block_until_ready returns early there)
     out = preview(unet_params, vae_params, fparams, jax.random.key(7), noise, ctx, uncond)
-    out.block_until_ready()
+    float(out.mean())
 
     iters = 5
     start = time.perf_counter()
@@ -95,7 +96,9 @@ def main():
         out = preview(
             unet_params, vae_params, fparams, jax.random.key(8 + i), noise, ctx, uncond
         )
-    out.block_until_ready()
+    # executions serialize on the single core; reading the last output back
+    # to the host guarantees the whole timed queue has drained
+    float(out.mean())
     elapsed = time.perf_counter() - start
 
     images_per_sec = batch * iters / elapsed

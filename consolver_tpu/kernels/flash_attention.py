@@ -1,0 +1,129 @@
+"""Pallas TPU flash attention (online-softmax, non-causal, no user mask).
+
+The TPU-native replacement for the reference's xformers memory-efficient
+attention (train_ppo.py:192-206).  Targets the FLUX DiT joint attention
+(head_dim 128, seq ~4.6k at 1024^2 editing) where it keeps the S x S score
+matrix out of HBM; the dispatch in kernels/attention.py falls back to XLA's
+fused attention for shapes that don't tile well (SD UNet head dims 40/80/160).
+
+Layout: q [B, Sq, H, D], k/v [B, Sk, H, D] -> out [B, Sq, H, D].
+Sequence padding is handled in-kernel: padded KV columns are masked to -inf
+before the online softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float,
+                  kv_len: int):
+    q = q_ref[0].astype(jnp.float32) * scale  # [bq, d]
+    padded_kv = k_ref.shape[1]
+    block_q, d = q.shape
+    num_kv = padded_kv // block_k
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, multiple):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x, size
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), size
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jax.Array:
+    """Non-causal unmasked flash attention with in-kernel KV-padding mask."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scale = 1.0 / (d**0.5)
+    block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+
+    qt, sq0 = _pad_to(qt, 1, block_q)
+    kt, sk0 = _pad_to(kt, 1, block_k)
+    vt, _ = _pad_to(vt, 1, block_k)
+
+    grid = (b * h, qt.shape[1] // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, block_k=block_k, scale=scale, kv_len=sk0
+        ),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, block_q, d), lambda i, j: (i, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, kt.shape[1], d), lambda i, j: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, vt.shape[1], d), lambda i, j: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d,
+            bytes_accessed=(qt.size + kt.size + vt.size + qt.size) * qt.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(qt, kt, vt)
+
+    out = out[:, :sq0]
+    return out.reshape(b, h, sq0, d).transpose(0, 2, 1, 3)
+
+
+def supports(q: jax.Array, k: jax.Array) -> bool:
+    """Shape gate used by the dispatcher: head_dim must tile the MXU lanes
+    and KV must be long enough for the streaming to pay off."""
+    return q.shape[-1] % 128 == 0 and k.shape[1] >= 1024

@@ -81,6 +81,8 @@ _VAE_ATTN_RENAMES: Sequence[Tuple[str, str]] = (
 
 _SKIP_PATTERNS = (
     r"position_ids$",
+    r"num_batches_tracked$",
+    r"mask_token$",
     r"^logit_scale$",
     r"text_projection",
 )

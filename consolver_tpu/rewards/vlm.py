@@ -1,0 +1,110 @@
+"""VLM-judge rewards (llava / qwen_vl): host-side generative scoring.
+
+Rebuild of reward_model.py:164-214 (LLaVA) and :259-317 (Qwen2.5-VL): the
+judge scores each (prediction, target) pair on four similarity dimensions
+0-100, retrying parse failures up to 5 times with a 50.0 fallback.  Judges
+are host callables (generative VLMs are services, not jittable graphs) and
+plug into rewards.registry.RewardModel.vlm_judge.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+# The four judged similarity dimensions (reward_model.py:25-30).
+SIMILARITY_DIMENSIONS = (
+    "overall visual similarity",
+    "structural similarity",
+    "color similarity",
+    "semantic content similarity",
+)
+
+_PROMPT = (
+    "Evaluate the {dimension} between these two images on a scale from 0 to "
+    "100, where 0 means completely dissimilar and 100 means identical. "
+    "Provide only the numerical score."
+)
+
+
+def parse_score(text: str) -> Optional[float]:
+    """First number in the generation, clamped to [0, 100]."""
+    m = re.search(r"-?\d+(?:\.\d+)?", text)
+    if m is None:
+        return None
+    return float(np.clip(float(m.group()), 0.0, 100.0))
+
+
+def make_vlm_judge(
+    generate_fn: Callable[[np.ndarray, np.ndarray, str], str],
+    max_retries: int = 5,
+    fallback_score: float = 50.0,
+):
+    """Build a RewardModel.vlm_judge from a raw generation callable.
+
+    generate_fn(pred_image [H,W,3] in [0,1], target_image, prompt) -> text.
+    Retry-with-fallback mirrors reward_model.py:194-206,288-310.
+    """
+
+    def judge(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
+        scores: List[float] = []
+        for i in range(len(pred)):
+            dim_scores = []
+            for dimension in SIMILARITY_DIMENSIONS:
+                prompt = _PROMPT.format(dimension=dimension)
+                score = None
+                for _ in range(max_retries):
+                    try:
+                        text = generate_fn(pred[i], target[i], prompt)
+                        score = parse_score(text)
+                        if score is not None:
+                            break
+                    except Exception:
+                        continue
+                dim_scores.append(score if score is not None else fallback_score)
+            scores.append(float(np.mean(dim_scores)))
+        return np.asarray(scores, np.float32)
+
+    return judge
+
+
+def load_transformers_judge(model_path: str, device: str = "cpu"):
+    """Load a local vision-language judge through transformers (LLaVA-class
+    'image-text-to-text' checkpoints).  Requires the checkpoint on local
+    disk — judges are multi-billion-param hub models the reference also
+    loads externally (reward_model.py:67-87)."""
+    from transformers import AutoModelForImageTextToText, AutoProcessor
+
+    processor = AutoProcessor.from_pretrained(model_path, local_files_only=True)
+    model = AutoModelForImageTextToText.from_pretrained(
+        model_path, local_files_only=True
+    ).to(device)
+
+    def generate_fn(pred: np.ndarray, target: np.ndarray, prompt: str) -> str:
+        import torch
+        from PIL import Image
+
+        imgs = [
+            Image.fromarray((np.clip(x, 0, 1) * 255).astype(np.uint8))
+            for x in (pred, target)
+        ]
+        messages = [
+            {
+                "role": "user",
+                "content": [
+                    {"type": "image"},
+                    {"type": "image"},
+                    {"type": "text", "text": prompt},
+                ],
+            }
+        ]
+        text = processor.apply_chat_template(messages, add_generation_prompt=True)
+        inputs = processor(text=[text], images=imgs, return_tensors="pt").to(device)
+        with torch.no_grad():
+            out = model.generate(**inputs, max_new_tokens=5)
+        gen = out[0][inputs["input_ids"].shape[1] :]
+        return processor.batch_decode(gen[None], skip_special_tokens=True)[0].strip()
+
+    return make_vlm_judge(generate_fn)

@@ -1,0 +1,133 @@
+"""FLUX-Kontext editing PPO trainer.
+
+TPU-native rebuild of edit_ppo/train_ppo.py:48-431.  Deltas vs the SD
+trainer (rl/train.py), reproduced from the reference:
+
+  * inference-step count drawn in [2, 6) deterministically per step
+    (replaces the rank-0 broadcast, edit_ppo/train_ppo.py:275-283);
+  * an extra BASELINE rollout with the naive Euler FM solver on one sample
+    (:290-300) whose reward clips the group mean from below in the
+    advantage (:316-326) — no x10 scaling;
+  * ppo_epochs=4 (run_ppo.sh), group batch includes the reference image;
+  * optional per-step sample dumps labeled with the advantage (:404-416).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from consolver_tpu.data.group import repeat_random_sample
+from consolver_tpu.pipelines.edit import FluxKontextPipeline
+from consolver_tpu.rl import ppo
+from consolver_tpu.rl.train import TrainConfig
+
+
+class EditPPOTrainer:
+    def __init__(
+        self,
+        pipeline: FluxKontextPipeline,
+        reward_fn: Callable[[jax.Array, jax.Array], jax.Array],
+        config: TrainConfig,
+        dump_samples_to: Optional[str] = None,
+    ):
+        if pipeline.factor_net is None:
+            raise ValueError("EditPPOTrainer needs a pipeline with a factor_net")
+        self.pipe = pipeline
+        self.reward_fn = reward_fn
+        self.config = config
+        self.dump_samples_to = dump_samples_to
+
+        self.params = pipeline.factor_params
+        self.optimizer = ppo.make_optimizer(config.ppo)
+        self.opt_state = self.optimizer.init(self.params)
+        self.global_step = 0
+        self._update = jax.jit(
+            ppo.make_update_fn(self.factor_net, self.optimizer, config.ppo)
+        )
+        self._host_rng = random.Random(config.seed)
+
+    @property
+    def factor_net(self):
+        return self.pipe.factor_net
+
+    def _num_inference_for_step(self, step: int) -> int:
+        rng = random.Random(f"{self.config.seed}-{step}")
+        return rng.randrange(
+            self.config.min_inference_steps, self.config.max_inference_steps
+        )
+
+    def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        """Host batch keys: ``noise`` [B,h,w,16] latent noise, ``latent``
+        (teacher final latents) [B,h,w,16], ``ref_image`` [B,H,W,3] in
+        [-1,1], ``t5_ids`` [B,S], ``clip_ids`` [B,S]."""
+        cfg = self.config
+        batch = repeat_random_sample(batch, self._host_rng)
+        num_inference = self._num_inference_for_step(self.global_step)
+        key = jax.random.fold_in(jax.random.key(cfg.seed), self.global_step)
+
+        t5_ids = jnp.asarray(batch["t5_ids"])
+        clip_ids = jnp.asarray(batch["clip_ids"])
+        ref_image = jnp.asarray(batch["ref_image"])
+        noise = jnp.asarray(batch["noise"])
+
+        # --- baseline rollout: naive Euler on ONE sample (:290-300) ---
+        base_latents, _ = self.pipe(
+            key, t5_ids[:1], clip_ids[:1], ref_image[:1], noise[:1],
+            num_inference_steps=num_inference,
+            guidance_scale=cfg.guidance_scale, solver="euler", decode=False,
+        )
+
+        # --- policy rollout over the group batch ---
+        latents, traj = self.pipe(
+            key, t5_ids, clip_ids, ref_image, noise,
+            num_inference_steps=num_inference,
+            guidance_scale=cfg.guidance_scale, solver="fmppo", decode=False,
+        )
+
+        target = jnp.asarray(batch["latent"])
+        pred_img = self.pipe.decode_latents(latents)
+        target_img = self.pipe.decode_latents(target)
+        base_img = self.pipe.decode_latents(base_latents)
+
+        rewards = self.reward_fn(pred_img, target_img).reshape(-1)
+        base_reward = self.reward_fn(base_img, target_img[:1]).reshape(-1)[0]
+        advantages = ppo.baseline_clipped_advantages(rewards, base_reward)
+
+        conds, actions, old_probs, adv = ppo.flatten_trajectory(traj, advantages)
+        metrics = {}
+        for _ in range(cfg.ppo.ppo_epochs):
+            self.params, self.opt_state, metrics = self._update(
+                self.params, self.opt_state, conds, actions, old_probs, adv
+            )
+        self.pipe.factor_params = self.params
+
+        if self.dump_samples_to:
+            self._dump_samples(pred_img, advantages)
+
+        self.global_step += 1
+        out = {k: float(v) for k, v in metrics.items()}
+        out.update(
+            reward=float(rewards.mean()),
+            baseline_reward=float(base_reward),
+            num_inference=num_inference,
+        )
+        return out
+
+    def _dump_samples(self, images, advantages, limit: int = 4):
+        """Per-step JPEG dumps labeled with the advantage
+        (edit_ppo/train_ppo.py:404-416)."""
+        from consolver_tpu.eval.gen_sweep import save_png
+
+        out_dir = os.path.join(self.dump_samples_to, f"step_{self.global_step}")
+        os.makedirs(out_dir, exist_ok=True)
+        imgs = np.asarray(images[:limit])
+        advs = np.asarray(advantages[:limit])
+        for i, (img, a) in enumerate(zip(imgs, advs)):
+            save_png(os.path.join(out_dir, f"sample_{i}_adv_{float(a):.3f}.png"), img)

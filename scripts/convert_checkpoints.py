@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Convert locally-downloaded HF checkpoints into consolver-tpu param trees.
+
+The reference pulls every large model from the hub at runtime
+(train_ppo.py:102-131); in this framework weights are converted ONCE into
+orbax checkpoints and loaded natively.
+
+Usage:
+  python scripts/convert_checkpoints.py --kind unet \
+      --src /path/to/sd15/unet --dst ckpts/sd15/unet
+  kinds: unet | vae | clip_text | clip_vision | dinov2 | t5 | flux | factor_net
+
+--src is a directory containing *.safetensors (preferred) or
+pytorch_model*.bin / diffusion_pytorch_model*.bin shards.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def load_state_dict(src: str) -> dict:
+    files = sorted(glob.glob(os.path.join(src, "*.safetensors")))
+    state = {}
+    if files:
+        from safetensors.numpy import load_file
+
+        for f in files:
+            state.update(load_file(f))
+        return state
+    files = sorted(glob.glob(os.path.join(src, "*.bin"))) + sorted(
+        glob.glob(os.path.join(src, "*.pth"))
+    ) + sorted(glob.glob(os.path.join(src, "*.ckpt")))
+    if not files:
+        raise FileNotFoundError(f"No safetensors/bin/pth weights under {src}")
+    import torch
+
+    for f in files:
+        state.update(torch.load(f, map_location="cpu", weights_only=True))
+    return state
+
+
+def convert(kind: str, state: dict):
+    from consolver_tpu.models import convert as c
+
+    if kind == "unet":
+        return c.convert_unet(state)
+    if kind == "vae":
+        return c.convert_vae(state)
+    if kind == "clip_text":
+        return c.convert_clip_text(state)
+    if kind == "flux":
+        return c.convert_flux(state)
+    if kind == "t5":
+        from consolver_tpu.models.t5 import convert_t5
+
+        return convert_t5(state)
+    if kind == "clip_vision":
+        from consolver_tpu.models.vit import convert_clip_vision
+
+        return convert_clip_vision(state)
+    if kind == "dinov2":
+        from consolver_tpu.models.vit import convert_dinov2
+
+        return convert_dinov2(state)
+    if kind == "factor_net":
+        # reference model.ckpt: use policy.FactorNet.load_torch_state_dict
+        from consolver_tpu.policy import FactorNet, FactorNetConfig
+
+        net = FactorNet(FactorNetConfig())
+        return net.load_torch_state_dict(state)
+    raise ValueError(f"unknown kind {kind}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kind", required=True)
+    ap.add_argument("--src", required=True)
+    ap.add_argument("--dst", required=True)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    state = load_state_dict(args.src)
+    params = convert(args.kind, state)
+    if args.dtype == "bfloat16":
+        import jax.numpy as jnp
+        import jax
+
+        params = jax.tree.map(lambda x: np.asarray(x, jnp.bfloat16), params)
+
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(os.path.abspath(args.dst), params, force=True)
+    n = sum(int(np.prod(np.shape(x))) for x in __import__("jax").tree.leaves(params))
+    print(f"converted {args.kind}: {len(state)} tensors -> {n/1e6:.1f}M params at {args.dst}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Consistency / FID evaluation CLI (compute_reward.sh + fid_test.py
+equivalent).
+
+  python scripts/evaluate.py consistency --generated results/ours8 \
+      --reference results/teacher40 --reward image_psnr --out stats.json
+  python scripts/evaluate.py fid --generated results/ours8 \
+      --reference coco/val2017 --encoder-ckpt ckpts/inception
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("consistency")
+    c.add_argument("--generated", required=True)
+    c.add_argument("--reference", required=True)
+    c.add_argument("--reward", default="image_psnr")
+    c.add_argument("--encoder-ckpt", default=None)
+    c.add_argument("--out", default=None)
+    c.add_argument("--batch-size", type=int, default=32)
+
+    f = sub.add_parser("fid")
+    f.add_argument("--generated", required=True)
+    f.add_argument("--reference", required=True)
+    f.add_argument("--encoder-ckpt", default=None)
+    f.add_argument("--batch-size", type=int, default=32)
+
+    args = ap.parse_args()
+
+    from consolver_tpu.eval.consistency import evaluate_consistency, pair_images, _load_image
+    from consolver_tpu.rewards.registry import RewardModel, make_reward_fn
+
+    def build_encoder():
+        from consolver_tpu.models.vit import ViT, ViTConfig, make_encoder
+        from scripts.train_sd15 import load_orbax
+
+        vit = ViT(ViTConfig.dinov2_base())
+        params = load_orbax(args.encoder_ckpt)
+        return make_encoder(vit, params, "dino")
+
+    if args.cmd == "consistency":
+        model = RewardModel()
+        if args.reward in ("dino", "clip", "inception"):
+            if not args.encoder_ckpt:
+                raise SystemExit(f"--encoder-ckpt required for reward {args.reward}")
+            model = RewardModel(encode=build_encoder())
+        reward_fn = make_reward_fn(args.reward, model)
+        stats = evaluate_consistency(
+            reward_fn, args.generated, args.reference,
+            batch_size=args.batch_size, output_json=args.out,
+        )
+        print(stats)
+        return
+
+    # fid
+    from consolver_tpu.eval import fid as fid_lib
+
+    if args.encoder_ckpt:
+        encode = build_encoder()
+    else:
+        print("[smoke] no --encoder-ckpt: FID over downsampled pixels")
+        import jax.image
+
+        def encode(imgs):
+            import jax.numpy as jnp
+
+            x = jax.image.resize(jnp.asarray(imgs), (len(imgs), 8, 8, 3), "linear")
+            return np.asarray(x.reshape(len(imgs), -1))
+
+    def stream(d):
+        import glob
+
+        files = sorted(
+            glob.glob(os.path.join(d, "**", "*.png"), recursive=True)
+            + glob.glob(os.path.join(d, "**", "*.jpg"), recursive=True)
+        )
+        for start in range(0, len(files), args.batch_size):
+            yield np.stack(
+                [_load_image(p, (256, 256)) for p in files[start : start + args.batch_size]]
+            )
+
+    d = fid_lib.compute_fid(encode, stream(args.generated), stream(args.reference))
+    print({"fid": d})
+
+
+if __name__ == "__main__":
+    main()

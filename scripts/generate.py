@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Generation sweep over the solver zoo (gen.sh / gen_ppo.py equivalent).
+
+  python scripts/generate.py --solver multistep-dpm --steps 8 \
+      --prompts coco_captions.json --out results/dpm8 \
+      [--pretrained ckpts/sd15] [--factor-ckpt runs/ppo/checkpoint-3000]
+
+Solvers: consistencysolver | ddim | ipndm | unipc | deis | multistep-dpm |
+amed | dmd2 (gen_ppo.py:118-169).  Smoke mode (no --pretrained) uses tiny
+random models.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--solver", default="consistencysolver")
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--cfg", type=float, default=3.0)
+    ap.add_argument("--prompts", default=None,
+                    help="COCO captions json, or a .txt with one prompt/line")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--pretrained", default=None)
+    ap.add_argument("--factor-ckpt", default=None)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-prompts", type=int, default=None)
+    args = ap.parse_args()
+
+    from consolver_tpu.configs.config import ExperimentConfig, apply_overrides
+    from consolver_tpu.data.tokenizer import load_tokenizer, tokenize_batch
+    from consolver_tpu.eval.gen_sweep import generate_sweep, read_coco_captions
+    from consolver_tpu.models.vae import decode_latents
+    from consolver_tpu.pipelines.solver_zoo import make_baseline_denoise_fn
+    from consolver_tpu.policy import FactorNet
+    from scripts.train_sd15 import build_pipeline, load_orbax
+
+    cfg = ExperimentConfig.sd15_ppo()
+    if args.pretrained:
+        cfg = apply_overrides(cfg, {"model.pretrained_path": args.pretrained})
+
+    fnet = FactorNet(cfg.factor_net)
+    fparams = fnet.init(jax.random.key(0))
+    if args.factor_ckpt:
+        restored = load_orbax(args.factor_ckpt)
+        fparams = restored.get("params", restored)
+    pipe = build_pipeline(cfg, fnet, fparams)
+
+    if args.prompts is None:
+        prompts = [f"sample prompt {i}" for i in range(16)]
+    elif args.prompts.endswith(".json"):
+        prompts = read_coco_captions(args.prompts, args.max_prompts)
+    else:
+        with open(args.prompts) as f:
+            prompts = [l.strip() for l in f if l.strip()][: args.max_prompts]
+
+    tokenizer = load_tokenizer(
+        os.path.join(args.pretrained, "tokenizer") if args.pretrained else None
+    )
+    latent = 64 if args.pretrained else 8
+
+    if args.solver == "consistencysolver":
+        def generate_batch(key, batch_prompts):
+            ids = jnp.asarray(tokenize_batch(tokenizer, batch_prompts, 77))
+            noise = jax.random.normal(key, (len(batch_prompts), latent, latent, 4))
+            images, _ = pipe(key, ids, noise, args.steps, args.cfg)
+            return images
+    else:
+        denoise = make_baseline_denoise_fn(
+            lambda p, x, t, c: pipe.unet.apply(p, x, t, c),
+            pipe.schedule, args.solver, args.steps, args.cfg,
+        )
+
+        def generate_batch(key, batch_prompts):
+            ids = jnp.asarray(tokenize_batch(tokenizer, batch_prompts, 77))
+            ctx, uncond = pipe._encode(pipe.text_params, ids, jnp.zeros_like(ids))
+            noise = jax.random.normal(key, (len(batch_prompts), latent, latent, 4))
+            latents = denoise(pipe.unet_params, noise, ctx, uncond)
+            return decode_latents(pipe.vae, pipe.vae_params, latents)
+
+    files = generate_sweep(
+        generate_batch, prompts, args.out, args.batch_size, args.seed
+    )
+    print(f"wrote {len(files)} images to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""FLUX-Kontext editing ConsistencySolver PPO training entrypoint.
+
+TPU-native equivalent of edit_ppo/run_ppo.sh -> edit_ppo/train_ppo.py.
+
+  python scripts/train_flux.py --preset flux_ppo \
+      --set model.pretrained_path=ckpts/flux \
+      --set data.train_data_dir=data/teacher/flux
+
+Checkpoint layout under pretrained_path: transformer/ t5/ clip_text/ vae/
+(orbax trees from scripts/convert_checkpoints.py).  Without it the loop
+runs in tiny-random smoke mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def load_orbax(path):
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+
+
+def build_pipeline(cfg, factor_net, factor_params):
+    from consolver_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
+    from consolver_tpu.models.flux import FluxConfig, FluxTransformer
+    from consolver_tpu.models.t5 import T5Config, T5Encoder
+    from consolver_tpu.models.vae import AutoencoderKL, VaeConfig
+    from consolver_tpu.pipelines.edit import FluxKontextPipeline
+
+    dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+    pretrained = cfg.model.pretrained_path
+    if pretrained:
+        transformer = FluxTransformer(FluxConfig.flux_kontext(), dtype=dtype)
+        t5 = T5Encoder(T5Config.xxl(), dtype=dtype)
+        clip = ClipTextEncoder(ClipTextConfig.sd15(), dtype=dtype)
+        vae = AutoencoderKL(
+            VaeConfig(latent_channels=16, scaling_factor=0.3611), dtype=dtype
+        )
+        return FluxKontextPipeline(
+            transformer, load_orbax(os.path.join(pretrained, "transformer")),
+            t5, load_orbax(os.path.join(pretrained, "t5")),
+            clip, load_orbax(os.path.join(pretrained, "clip_text")),
+            vae, load_orbax(os.path.join(pretrained, "vae")),
+            factor_net=factor_net, factor_params=factor_params,
+        )
+
+    print("[smoke mode] no pretrained_path: tiny random models")
+    fcfg = FluxConfig.tiny()
+    transformer = FluxTransformer(fcfg)
+    k = jax.random.split(jax.random.key(0), 8)
+    s_txt = 8
+    t5 = T5Encoder(T5Config(vocab_size=64, d_model=fcfg.joint_text_dim, d_kv=8,
+                            d_ff=64, num_layers=1, num_heads=4))
+    clip = ClipTextEncoder(ClipTextConfig(
+        vocab_size=64, hidden_size=fcfg.pooled_text_dim, num_layers=1,
+        num_heads=2, intermediate_size=32))
+    vae = AutoencoderKL(VaeConfig(block_out_channels=(8, 16), layers_per_block=1,
+                                  norm_num_groups=4, latent_channels=4))
+    img = jnp.zeros((1, 32, fcfg.in_channels))
+    tr_params = transformer.init(
+        k[0], img, jnp.zeros((1, s_txt, fcfg.joint_text_dim)),
+        jnp.zeros((1, fcfg.pooled_text_dim)), jnp.ones((1,)), jnp.ones((1,)),
+        jnp.zeros((32, 3)), jnp.zeros((s_txt, 3)),
+    )
+    return FluxKontextPipeline(
+        transformer, tr_params,
+        t5, t5.init(k[1], jnp.zeros((1, s_txt), jnp.int32)),
+        clip, clip.init(k[2], jnp.zeros((1, s_txt), jnp.int32)),
+        vae, vae.init(k[3], jnp.zeros((1, 16, 16, 3)), k[4]),
+        factor_net=factor_net, factor_params=factor_params,
+    )
+
+
+def main():
+    from consolver_tpu.configs.config import parse_cli
+    from consolver_tpu.data.group import TeacherDataset
+    from consolver_tpu.policy import FactorNet
+    from consolver_tpu.rl.train_edit import EditPPOTrainer
+    from consolver_tpu.utils.logging import MetricLogger
+    from scripts.train_sd15 import build_reward
+
+    cfg = parse_cli()
+    fnet = FactorNet(cfg.factor_net)
+    fparams = fnet.init(jax.random.key(cfg.train.seed))
+    pipe = build_pipeline(cfg, fnet, fparams)
+    reward_fn = build_reward(cfg)
+
+    trainer = EditPPOTrainer(
+        pipe, reward_fn, cfg.train,
+        dump_samples_to=os.path.join(cfg.train.output_dir, "samples"),
+    )
+    logger = MetricLogger(cfg.train.output_dir, config=dataclasses.asdict(cfg))
+    dataset = TeacherDataset(cfg.data.train_data_dir)
+
+    step = 0
+    while step < cfg.train.max_train_steps:
+        for batch in dataset.batches(cfg.data.batch_size, seed=step):
+            if step >= cfg.train.max_train_steps:
+                break
+            metrics = trainer.train_step(batch)
+            if step % cfg.train.log_every == 0:
+                logger.log(step, metrics)
+            step = trainer.global_step
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""SD-1.5 ConsistencySolver PPO training entrypoint.
+
+TPU-native equivalent of run_ppo.sh -> train_ppo.py.  Usage:
+
+  python scripts/train_sd15.py --preset sd15_ppo \
+      --set model.pretrained_path=ckpts/sd15 \
+      --set data.train_data_dir=data/teacher/sd15
+
+With no pretrained_path it builds tiny random models (smoke mode) so the
+full loop is runnable anywhere.  Checkpoint layout under
+model.pretrained_path: unet/ vae/ clip_text/ (orbax trees written by
+scripts/convert_checkpoints.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_orbax(path):
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+
+
+def build_pipeline(cfg, factor_net, factor_params):
+    from consolver_tpu.core import schedules
+    from consolver_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
+    from consolver_tpu.models.unet_2d import UNetConfig, UNet2DCondition
+    from consolver_tpu.models.vae import AutoencoderKL, VaeConfig
+    from consolver_tpu.pipelines.t2i import TextToImagePipeline
+
+    dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+    pretrained = cfg.model.pretrained_path
+    if pretrained:
+        ucfg, vcfg, tcfg = UNetConfig.sd15(), VaeConfig.sd15(), ClipTextConfig.sd15()
+        unet, vae = UNet2DCondition(ucfg, dtype=dtype), AutoencoderKL(vcfg, dtype=dtype)
+        te = ClipTextEncoder(tcfg, dtype=dtype)
+        unet_params = load_orbax(os.path.join(pretrained, "unet"))
+        vae_params = load_orbax(os.path.join(pretrained, "vae"))
+        te_params = load_orbax(os.path.join(pretrained, "clip_text"))
+    else:
+        print("[smoke mode] no pretrained_path: tiny random models")
+        ucfg, vcfg, tcfg = UNetConfig.tiny(), VaeConfig.tiny(), ClipTextConfig.tiny()
+        unet, vae = UNet2DCondition(ucfg), AutoencoderKL(vcfg)
+        te = ClipTextEncoder(tcfg)
+        k = jax.random.split(jax.random.key(0), 4)
+        unet_params = unet.init(
+            k[0], jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 4, tcfg.hidden_size)),
+        )
+        vae_params = vae.init(k[1], jnp.zeros((1, 16, 16, 3)), k[2])
+        te_params = te.init(k[3], jnp.zeros((1, 4), jnp.int32))
+
+    return TextToImagePipeline(
+        unet, unet_params, te, te_params, vae, vae_params,
+        schedules.DiffusionSchedule.sd15(),
+        factor_net=factor_net, factor_params=factor_params,
+    )
+
+
+def build_reward(cfg):
+    from consolver_tpu.rewards.registry import RewardModel, make_reward_fn
+
+    rtype = cfg.reward.reward_type
+    model = RewardModel()
+    if rtype in ("dino", "clip", "inception") and cfg.reward.encoder_checkpoint:
+        from consolver_tpu.models.vit import ViT, ViTConfig, make_encoder
+
+        vit_cfg = (
+            ViTConfig.dinov2_base() if rtype == "dino" else ViTConfig.clip_vit_l14()
+        )
+        vit = ViT(vit_cfg)
+        params = load_orbax(cfg.reward.encoder_checkpoint)
+        model = RewardModel(encode=make_encoder(vit, params, rtype))
+    elif rtype != "image_psnr" and not cfg.reward.encoder_checkpoint:
+        print(f"[smoke mode] reward {rtype!r} needs encoder_checkpoint; using image_psnr")
+        rtype = "image_psnr"
+    return make_reward_fn(rtype, model)
+
+
+def main():
+    from consolver_tpu.configs.config import parse_cli
+    from consolver_tpu.data.group import TeacherDataset
+    from consolver_tpu.policy import FactorNet
+    from consolver_tpu.rl.train import PPOTrainer
+    from consolver_tpu.utils.logging import MetricLogger
+
+    cfg = parse_cli()
+    fnet = FactorNet(cfg.factor_net)
+    fparams = fnet.init(jax.random.key(cfg.train.seed))
+    pipe = build_pipeline(cfg, fnet, fparams)
+    reward_fn = build_reward(cfg)
+
+    trainer = PPOTrainer(pipe, reward_fn, cfg.train)
+    trainer.resume_from_checkpoint("latest")
+    logger = MetricLogger(cfg.train.output_dir, config=dataclasses.asdict(cfg))
+
+    dataset = TeacherDataset(cfg.data.train_data_dir)
+
+    def batches():
+        epoch = 0
+        while True:
+            yield from dataset.batches(cfg.data.batch_size, seed=epoch, shuffle=cfg.data.shuffle)
+            epoch += 1
+
+    trainer.fit(batches(), log_fn=logger.log)
+    trainer.save_checkpoint()
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

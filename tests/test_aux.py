@@ -1,0 +1,112 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from consolver_tpu.data.tokenizer import HashTokenizer, load_tokenizer, tokenize_batch
+from consolver_tpu.eval.dino_vis import pca_rgb
+from consolver_tpu.eval.edit_scores import (
+    list_examples,
+    score_results,
+    write_example,
+)
+from consolver_tpu.rewards.vlm import make_vlm_judge, parse_score, SIMILARITY_DIMENSIONS
+from consolver_tpu.utils.logging import MetricLogger
+from consolver_tpu.utils.profiling import StepTimer
+
+
+class TestTokenizer:
+    def test_hash_tokenizer_deterministic(self):
+        tok = HashTokenizer(vocab_size=1000, max_length=8)
+        a = tok(["a photo of a cat", "dog"])["input_ids"]
+        b = tok(["a photo of a cat", "dog"])["input_ids"]
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (2, 8)
+        assert a[0, 0] == tok.bos_id
+        assert (a < 1000).all()
+
+    def test_fallback_load(self):
+        tok = load_tokenizer(None, kind="t5", max_length=16)
+        ids = tokenize_batch(tok, ["hello world"], 16)
+        assert ids.shape == (1, 16)
+
+
+class TestVlmJudge:
+    def test_parse_score(self):
+        assert parse_score("85") == 85.0
+        assert parse_score("Score: 42.5/100") == 42.5
+        assert parse_score("120") == 100.0
+        assert parse_score("no number here") is None
+
+    def test_judge_retry_and_fallback(self):
+        calls = {"n": 0}
+
+        def flaky_generate(pred, target, prompt):
+            calls["n"] += 1
+            if "structural" in prompt:
+                return "garbage"  # always unparseable -> fallback 50
+            return "80"
+
+        judge = make_vlm_judge(flaky_generate, max_retries=2)
+        scores = judge(np.zeros((2, 4, 4, 3)), np.zeros((2, 4, 4, 3)))
+        # 3 dims at 80 + 1 dim fallback 50 => 72.5
+        np.testing.assert_allclose(scores, 72.5)
+        assert len(scores) == 2
+
+    def test_four_dimensions(self):
+        assert len(SIMILARITY_DIMENSIONS) == 4
+
+
+class TestEditScores:
+    def test_write_and_score(self, tmp_path):
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            write_example(
+                str(tmp_path), f"ex{i}", rng.random((8, 8, 3)),
+                f"make it bluer {i}", rng.random((8, 8, 3)),
+            )
+        assert len(list_examples(str(tmp_path))) == 3
+
+        def scorer(ref, instruction, edited):
+            assert "bluer" in instruction
+            return 5.0
+
+        stats = score_results(
+            str(tmp_path), scorer, output_json=str(tmp_path / "s.json")
+        )
+        assert stats["num_scored"] == 3 and stats["mean"] == 5.0
+        assert json.loads((tmp_path / "s.json").read_text())["mean"] == 5.0
+
+
+class TestDinoVis:
+    def test_pca_rgb(self):
+        rng = np.random.default_rng(1)
+        feats = rng.standard_normal((16, 32))
+        rgb = pca_rgb(feats, (4, 4))
+        assert rgb.shape == (4, 4, 3)
+        assert rgb.min() >= 0 and rgb.max() <= 1
+
+
+class TestObservability:
+    def test_metric_logger_jsonl(self, tmp_path):
+        logger = MetricLogger(str(tmp_path), config={"lr": 1e-4})
+        logger.log(1, {"loss": 0.5})
+        logger.log(2, {"loss": 0.25, "reward": 10})
+        logger.close()
+        lines = open(tmp_path / "metrics.jsonl").read().strip().split("\n")
+        assert len(lines) == 2
+        assert json.loads(lines[1])["reward"] == 10
+        assert json.loads((tmp_path / "config.json").read_text())["lr"] == 1e-4
+
+    def test_step_timer(self):
+        t = StepTimer()
+        with t.phase("rollout"):
+            pass
+        with t.phase("rollout"):
+            pass
+        with t.phase("update"):
+            pass
+        means = t.means()
+        assert set(means) == {"rollout", "update"}
+        assert t.counts["rollout"] == 2
