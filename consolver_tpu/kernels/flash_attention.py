@@ -125,5 +125,8 @@ def flash_attention(
 
 def supports(q: jax.Array, k: jax.Array) -> bool:
     """Shape gate used by the dispatcher: head_dim must tile the MXU lanes
-    and KV must be long enough for the streaming to pay off."""
-    return q.shape[-1] % 128 == 0 and k.shape[1] >= 1024
+    exactly (d > 128, e.g. the VAE's single-head d=512 attention, would blow
+    the VMEM budget with whole-KV residency — XLA handles those), and KV
+    must be long enough for the streaming to pay off."""
+    d = q.shape[-1]
+    return d == 128 and k.shape[1] >= 1024

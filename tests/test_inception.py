@@ -1,0 +1,80 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from consolver_tpu.models.inception import (
+    InceptionV3,
+    convert_inception,
+    make_inception_encoder,
+)
+
+
+def test_forward_shape_and_param_count():
+    model = InceptionV3()
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 299, 299, 3))
+    )
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes))
+    # torchvision inception_v3 minus AuxLogits and fc:
+    # 27,161,264 total - 2,049,000 (fc) - 3,302,757 (aux)... known body size:
+    assert 21.7e6 < n < 21.9e6, n
+
+
+def test_forward_runs():
+    model = InceptionV3()
+    x = jnp.zeros((1, 299, 299, 3))
+    params = model.init(jax.random.key(0), x)
+    feats = model.apply(params, x)
+    assert feats.shape == (1, 2048)
+    assert bool(jnp.isfinite(feats).all())
+
+
+def test_reward_integration():
+    from consolver_tpu.rewards.registry import RewardModel, make_reward_fn
+
+    model = InceptionV3()
+    params = model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+    encode = make_inception_encoder(model, params)
+    reward_fn = make_reward_fn("inception", RewardModel(encode=encode))
+    img = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3)), jnp.float32)
+    r = reward_fn(img, img)
+    np.testing.assert_allclose(np.asarray(r), 100.0, atol=0.01)
+
+
+def test_converter_structure_roundtrip():
+    """Synthesize a torchvision-style state dict from our init tree and check
+    the converter reproduces the structure exactly."""
+    import re
+
+    model = InceptionV3()
+    init_tree = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 299, 299, 3))
+    )["params"]
+
+    sd = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            path = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, path)
+            else:
+                shape = v.shape
+                if k == "kernel":  # prefix already ends with '.conv'
+                    sd[f"{prefix}.weight"] = np.zeros(
+                        (shape[3], shape[2], shape[0], shape[1]), np.float32
+                    )
+                elif k == "bn_scale":
+                    sd[f"{prefix}.bn.weight"] = np.zeros(shape, np.float32)
+                elif k == "bn_bias":
+                    sd[f"{prefix}.bn.bias"] = np.zeros(shape, np.float32)
+                elif k == "bn_mean":
+                    sd[f"{prefix}.bn.running_mean"] = np.zeros(shape, np.float32)
+                elif k == "bn_var":
+                    sd[f"{prefix}.bn.running_var"] = np.ones(shape, np.float32)
+
+    walk(init_tree, "")
+    from consolver_tpu.models import convert as c
+
+    converted = convert_inception(sd)["params"]
+    c.assert_tree_matches(converted, jax.tree.map(lambda x: x, init_tree))
