@@ -93,6 +93,26 @@ def test_dp_update_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+def test_multislice_mesh_dp():
+    """DCN-aware topology: leading DCN axis x ICI data axis; the batch
+    shards over BOTH axes (P(('dcn','data'))) so gradient reduction happens
+    hierarchically — ICI within a slice first."""
+    m = meshlib.make_mesh(axis_shape=(2, 4), axis_names=("dcn", "data"))
+    assert m.shape == {"dcn": 2, "data": 4}
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch = jnp.arange(16.0).reshape(16, 1)
+    sharded = jax.device_put(batch, NamedSharding(m, P(("dcn", "data"))))
+    assert len(sharded.sharding.device_set) == 8
+
+    @jax.jit
+    def global_mean(x):
+        return x.mean()
+
+    np.testing.assert_allclose(float(global_mean(sharded)), 7.5)
+
+
 def test_assert_params_synced():
     params = {"a": jnp.ones((3,)), "b": {"c": jnp.full((2,), 2.0)}}
     assert np.isclose(meshlib.assert_params_synced(params), 7.0)

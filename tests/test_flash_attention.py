@@ -71,5 +71,9 @@ def test_supports_gate():
     q = jnp.zeros((1, 4096, 24, 128))
     k = jnp.zeros((1, 4608, 24, 128))
     assert supports(q, k)
+    # small head dims are NOT dispatched (padded path measured slower than
+    # XLA for the SD UNet); the kernel itself still accepts them explicitly
     assert not supports(jnp.zeros((1, 4096, 8, 40)), jnp.zeros((1, 4096, 8, 40)))
+    # d > 128 (VAE single-head 512) and short sequences stay on XLA
+    assert not supports(jnp.zeros((1, 4096, 1, 512)), jnp.zeros((1, 4096, 1, 512)))
     assert not supports(jnp.zeros((1, 64, 24, 128)), jnp.zeros((1, 64, 24, 128)))
