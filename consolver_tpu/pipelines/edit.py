@@ -100,20 +100,19 @@ class FluxKontextPipeline:
 
     def denoise_fn(
         self,
-        height: int,
-        width: int,
+        lh: int,
+        lw: int,
         seq_txt: int,
         num_inference_steps: int,
         guidance_scale: float,
         solver: str = "fmppo",
         record: bool = True,
     ):
-        """Build/caches the jitted denoise fn for a (resolution, steps,
-        solver) combination.  mu follows the target-image sequence length
-        (edit_ppo/denoise_diffusion.py:75-84)."""
-        lh, lw = height // 8, width // 8  # vae downsampling
+        """Build/caches the jitted denoise fn for a (latent resolution,
+        steps, solver) combination.  mu follows the target-image sequence
+        length (edit_ppo/denoise_diffusion.py:75-84)."""
         seq_len = (lh // 2) * (lw // 2)
-        key = (height, width, seq_txt, num_inference_steps, guidance_scale, solver, record)
+        key = (lh, lw, seq_txt, num_inference_steps, guidance_scale, solver, record)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
 
@@ -162,14 +161,13 @@ class FluxKontextPipeline:
         """ref_image [B,H,W,3] in [-1,1]; noise [B,h,w,16] latent noise.
         Returns (edited image or final latents, trajectory)."""
         b, lh, lw, _ = noise.shape
-        height, width = lh * 8, lw * 8
         prompt_embeds, pooled = self.encode_prompt(t5_ids, clip_ids)
         ref_latents = self.encode_image(ref_image)
         ref_tokens = flux_lib.pack_latents(ref_latents)
         packed_noise = flux_lib.pack_latents(noise)
 
         denoise = self.denoise_fn(
-            height, width, int(t5_ids.shape[1]), num_inference_steps,
+            lh, lw, int(t5_ids.shape[1]), num_inference_steps,
             guidance_scale, solver,
         )
         cond = (prompt_embeds, pooled, ref_tokens)

@@ -220,19 +220,41 @@ class TextToImagePipeline:
     def _unet_apply(self, params, latents, t, context):
         return self.unet.apply(params, latents, t, context)
 
-    def denoise_fn(self, num_inference_steps: int, guidance_scale: float, record: bool = True):
-        key = (num_inference_steps, float(guidance_scale), record)
+    def denoise_fn(
+        self,
+        num_inference_steps: int,
+        guidance_scale: float,
+        record: bool = True,
+        solver: str = "consistencysolver",
+    ):
+        """``solver='consistencysolver'`` uses the learnable LMM (or plain
+        DDIM when no factor net is attached); any other name selects a
+        baseline zoo solver (pipelines/solver_zoo.SOLVERS)."""
+        key = (num_inference_steps, float(guidance_scale), record, solver)
         if key not in self._denoise_cache:
-            self._denoise_cache[key] = make_denoise_fn(
-                self._unet_apply,
-                self.schedule,
-                self.factor_net,
-                num_inference_steps,
-                guidance_scale,
-                self.timestep_spacing,
-                self.steps_offset,
-                record_trajectory=record,
-            )
+            if solver == "consistencysolver":
+                self._denoise_cache[key] = make_denoise_fn(
+                    self._unet_apply,
+                    self.schedule,
+                    self.factor_net,
+                    num_inference_steps,
+                    guidance_scale,
+                    self.timestep_spacing,
+                    self.steps_offset,
+                    record_trajectory=record,
+                )
+            else:
+                from consolver_tpu.pipelines.solver_zoo import (
+                    make_baseline_denoise_fn,
+                )
+
+                base = make_baseline_denoise_fn(
+                    self._unet_apply, self.schedule, solver,
+                    num_inference_steps, guidance_scale,
+                )
+                self._denoise_cache[key] = (
+                    lambda up, fp, k, noise, ctx, unc: (base(up, noise, ctx, unc), None)
+                )
         return self._denoise_cache[key]
 
     def __call__(
@@ -244,12 +266,13 @@ class TextToImagePipeline:
         guidance_scale: float = 3.0,
         uncond_ids: Optional[jax.Array] = None,
         decode: bool = True,
+        solver: str = "consistencysolver",
     ):
         """Returns (images or final latents, trajectory)."""
         if uncond_ids is None:
             uncond_ids = jnp.zeros_like(prompt_ids)
         context, uncond_context = self._encode(self.text_params, prompt_ids, uncond_ids)
-        denoise = self.denoise_fn(num_inference_steps, guidance_scale)
+        denoise = self.denoise_fn(num_inference_steps, guidance_scale, solver=solver)
         latents, traj = denoise(
             self.unet_params, self.factor_params, key, noise, context, uncond_context
         )

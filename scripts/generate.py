@@ -42,8 +42,6 @@ def main():
     from consolver_tpu.configs.config import ExperimentConfig, apply_overrides
     from consolver_tpu.data.tokenizer import load_tokenizer, tokenize_batch
     from consolver_tpu.eval.gen_sweep import generate_sweep, read_coco_captions
-    from consolver_tpu.models.vae import decode_latents
-    from consolver_tpu.pipelines.solver_zoo import make_baseline_denoise_fn
     from consolver_tpu.policy import FactorNet
     from scripts.train_sd15 import build_pipeline, load_orbax
 
@@ -59,7 +57,7 @@ def main():
     pipe = build_pipeline(cfg, fnet, fparams)
 
     if args.prompts is None:
-        prompts = [f"sample prompt {i}" for i in range(16)]
+        prompts = [f"sample prompt {i}" for i in range(args.max_prompts or 16)]
     elif args.prompts.endswith(".json"):
         prompts = read_coco_captions(args.prompts, args.max_prompts)
     else:
@@ -71,24 +69,13 @@ def main():
     )
     latent = 64 if args.pretrained else 8
 
-    if args.solver == "consistencysolver":
-        def generate_batch(key, batch_prompts):
-            ids = jnp.asarray(tokenize_batch(tokenizer, batch_prompts, 77))
-            noise = jax.random.normal(key, (len(batch_prompts), latent, latent, 4))
-            images, _ = pipe(key, ids, noise, args.steps, args.cfg)
-            return images
-    else:
-        denoise = make_baseline_denoise_fn(
-            lambda p, x, t, c: pipe.unet.apply(p, x, t, c),
-            pipe.schedule, args.solver, args.steps, args.cfg,
+    def generate_batch(key, batch_prompts):
+        ids = jnp.asarray(tokenize_batch(tokenizer, batch_prompts, 77))
+        noise = jax.random.normal(key, (len(batch_prompts), latent, latent, 4))
+        images, _ = pipe(
+            key, ids, noise, args.steps, args.cfg, solver=args.solver
         )
-
-        def generate_batch(key, batch_prompts):
-            ids = jnp.asarray(tokenize_batch(tokenizer, batch_prompts, 77))
-            ctx, uncond = pipe._encode(pipe.text_params, ids, jnp.zeros_like(ids))
-            noise = jax.random.normal(key, (len(batch_prompts), latent, latent, 4))
-            latents = denoise(pipe.unet_params, noise, ctx, uncond)
-            return decode_latents(pipe.vae, pipe.vae_params, latents)
+        return images
 
     files = generate_sweep(
         generate_batch, prompts, args.out, args.batch_size, args.seed

@@ -140,3 +140,25 @@ def test_use_conv_records_epsilon():
     )
     assert traj.conds_eps is not None
     assert traj.conds_eps.shape == (1, 2, 2, 8, 8, 4)
+
+
+def test_pipeline_zoo_solver_selection():
+    """TextToImagePipeline dispatches baseline zoo solvers by name."""
+    (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()
+    sched = schedules.DiffusionSchedule.sd15()
+    pipe = TextToImagePipeline(
+        unet, unet_params, te, te_params, vae, vae_params, sched
+    )
+    ids = jnp.ones((1, 4), jnp.int32)
+    noise = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    lat_u, traj = pipe(
+        jax.random.key(1), ids, noise, num_inference_steps=5,
+        solver="unipc", decode=False,
+    )
+    assert traj is None
+    lat_d, _ = pipe(
+        jax.random.key(1), ids, noise, num_inference_steps=5,
+        solver="multistep-dpm", decode=False,
+    )
+    assert bool(jnp.isfinite(lat_u).all()) and bool(jnp.isfinite(lat_d).all())
+    assert not np.allclose(np.asarray(lat_u), np.asarray(lat_d))

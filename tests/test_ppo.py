@@ -212,3 +212,46 @@ def test_reward_metrics():
     np.testing.assert_allclose(
         np.asarray(metrics.segmentation_reward(m1, m2)), [75.0]
     )
+
+
+def test_fit_checkpoints_on_failure(tmp_path):
+    """fit() must save state before propagating an unexpected error."""
+    from tests.test_pipeline import make_tiny_stack
+    from consolver_tpu.pipelines.t2i import TextToImagePipeline
+    from consolver_tpu.rewards.registry import make_reward_fn
+    from consolver_tpu.rl.train import PPOTrainer, TrainConfig
+    from consolver_tpu.core import schedules
+
+    (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()
+    fcfg = FactorNetConfig(order_dim=2, scaler_dim=0, num_actions=11, family="sd")
+    fnet = FactorNet(fcfg)
+    pipe = TextToImagePipeline(
+        unet, unet_params, te, te_params, vae, vae_params,
+        schedules.DiffusionSchedule.sd15(),
+        factor_net=fnet, factor_params=fnet.init(jax.random.key(0)),
+    )
+    config = TrainConfig(
+        max_train_steps=10, min_inference_steps=2, max_inference_steps=3,
+        output_dir=str(tmp_path), checkpointing_steps=100,
+        ppo=PPOConfig(ppo_epochs=1),
+    )
+    trainer = PPOTrainer(pipe, make_reward_fn("image_psnr"), config)
+
+    rng = np.random.default_rng(0)
+    good = {
+        "noise": rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+        "latent": rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+        "prompt_ids": np.ones((2, 4), np.int64),
+    }
+
+    def batches():
+        yield dict(good)
+        raise RuntimeError("data source died")
+
+    with pytest.raises(RuntimeError):
+        trainer.fit(batches())
+    # state was checkpointed at the failure point
+    assert trainer._checkpoint_dirs(), "no checkpoint written on failure"
+    trainer2 = PPOTrainer(pipe, make_reward_fn("image_psnr"), config)
+    assert trainer2.resume_from_checkpoint("latest")
+    assert trainer2.global_step == 1
