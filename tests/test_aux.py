@@ -110,3 +110,16 @@ class TestObservability:
         means = t.means()
         assert set(means) == {"rollout", "update"}
         assert t.counts["rollout"] == 2
+
+
+def test_dino_vis_visualize():
+    import jax
+    import jax.numpy as jnp
+    from consolver_tpu.eval.dino_vis import visualize
+    from consolver_tpu.models.vit import ViT, ViTConfig
+
+    vit = ViT(ViTConfig.tiny())
+    params = vit.init(jax.random.key(0), jnp.zeros((1, 28, 28, 3)))
+    heat = visualize(vit, params, np.random.default_rng(0).random((64, 64, 3)))
+    assert heat.shape == (2, 2, 3)  # 28/14 = 2x2 patch grid
+    assert heat.min() >= 0 and heat.max() <= 1
