@@ -170,6 +170,7 @@ def preprocess(
     mean: Tuple[float, ...] = IMAGENET_MEAN,
     std: Tuple[float, ...] = IMAGENET_STD,
     resize_to: Optional[int] = 256,
+    method: str = "linear",
 ) -> jax.Array:
     """[B,H,W,3] in [0,1] -> resized/center-cropped/normalized [B,size,size,3].
 
@@ -180,10 +181,10 @@ def preprocess(
     if resize_to is not None:
         scale = resize_to / min(h, w)
         nh, nw = int(round(h * scale)), int(round(w * scale))
-        images = jax.image.resize(images, (b, nh, nw, c), "linear")
+        images = jax.image.resize(images, (b, nh, nw, c), method)
         h, w = nh, nw
     else:
-        images = jax.image.resize(images, (b, size, size, c), "linear")
+        images = jax.image.resize(images, (b, size, size, c), method)
         h = w = size
     top, left = (h - size) // 2, (w - size) // 2
     images = images[:, top : top + size, left : left + size, :]
@@ -195,14 +196,17 @@ def preprocess(
 def make_encoder(vit: ViT, params, kind: str = "dino"):
     """Build the RewardModel.encode callable: batched preprocess + features."""
     if kind == "dino":
-        mean, std, resize_to = IMAGENET_MEAN, IMAGENET_STD, 256
+        # BitImageProcessor: shortest-edge 256 bilinear + crop 224
+        mean, std, resize_to, method = IMAGENET_MEAN, IMAGENET_STD, 256, "linear"
     elif kind == "clip":
-        mean, std, resize_to = CLIP_MEAN, CLIP_STD, None
+        # CLIPImageProcessor: bicubic resample (validated vs transformers:
+        # mean abs diff 0.0076 normalized units with cubic, 0.067 with linear)
+        mean, std, resize_to, method = CLIP_MEAN, CLIP_STD, None, "cubic"
     else:
-        mean, std, resize_to = IMAGENET_MEAN, IMAGENET_STD, None
+        mean, std, resize_to, method = IMAGENET_MEAN, IMAGENET_STD, None, "linear"
 
     def encode(images):
-        x = preprocess(images, vit.cfg.image_size, mean, std, resize_to)
+        x = preprocess(images, vit.cfg.image_size, mean, std, resize_to, method)
         return vit.apply(params, x, method=vit.features)
 
     return encode

@@ -134,3 +134,46 @@ class TestClipVisionParity:
             params, jnp.asarray(x.transpose(0, 2, 3, 1)), method=model.features
         )
         np.testing.assert_allclose(np.asarray(feats), ref, rtol=2e-3, atol=2e-4)
+
+
+class TestProcessorParity:
+    """Preprocessing parity vs the actual transformers image processors —
+    a silent resize mismatch would skew every backbone reward."""
+
+    def test_dino_processor(self):
+        pytest.importorskip("transformers")
+        from transformers import BitImageProcessor
+
+        rng = np.random.default_rng(0)
+        img = rng.random((1, 512, 512, 3)).astype(np.float32)
+        proc = BitImageProcessor(
+            do_resize=True, size={"shortest_edge": 256}, resample=2,
+            do_center_crop=True, crop_size={"height": 224, "width": 224},
+            do_rescale=False, do_normalize=True,
+            image_mean=list(vit_lib.IMAGENET_MEAN), image_std=list(vit_lib.IMAGENET_STD),
+        )
+        ref = proc(images=[img[0]], return_tensors="np",
+                   input_data_format="channels_last")["pixel_values"][0].transpose(1, 2, 0)
+        ours = np.asarray(preprocess(jnp.asarray(img), 224, resize_to=256))[0]
+        assert float(np.abs(ref - ours).mean()) < 0.02
+
+    def test_clip_processor(self):
+        pytest.importorskip("transformers")
+        from transformers import CLIPImageProcessor
+
+        rng = np.random.default_rng(1)
+        img = rng.random((1, 512, 512, 3)).astype(np.float32)
+        proc = CLIPImageProcessor(
+            do_resize=True, size={"shortest_edge": 224}, resample=3,
+            do_center_crop=True, crop_size={"height": 224, "width": 224},
+            do_rescale=False, do_normalize=True,
+            image_mean=list(vit_lib.CLIP_MEAN), image_std=list(vit_lib.CLIP_STD),
+            do_convert_rgb=False,
+        )
+        ref = proc(images=[img[0]], return_tensors="np",
+                   input_data_format="channels_last")["pixel_values"][0].transpose(1, 2, 0)
+        ours = np.asarray(preprocess(
+            jnp.asarray(img), 224, vit_lib.CLIP_MEAN, vit_lib.CLIP_STD,
+            resize_to=None, method="cubic",
+        ))[0]
+        assert float(np.abs(ref - ours).mean()) < 0.02
