@@ -71,9 +71,20 @@ class PPOTrainer:
         self.optimizer = ppo.make_optimizer(config.ppo)
         self.opt_state = self.optimizer.init(self.params)
         self.global_step = 0
-        self._update = jax.jit(
-            ppo.make_update_fn(self.factor_net, self.optimizer, config.ppo)
-        )
+        update = ppo.make_update_fn(self.factor_net, self.optimizer, config.ppo)
+        if mesh is not None:
+            # data-parallel: PPO batch sharded over the mesh's data axis,
+            # params/opt replicated; XLA inserts the gradient psum
+            from consolver_tpu.dist import mesh as meshlib
+
+            self._update = meshlib.data_parallel_jit(
+                update, mesh, batch_argnums=(2, 3, 4, 5)
+            )
+            self.params = meshlib.replicate(mesh, self.params)
+            self.opt_state = meshlib.replicate(mesh, self.opt_state)
+            self.pipe.factor_params = self.params
+        else:
+            self._update = jax.jit(update)
         self._decode_and_reward = jax.jit(self._decode_and_reward_impl)
         self._host_rng = random.Random(config.seed)
 
@@ -128,6 +139,12 @@ class PPOTrainer:
         )
 
         conds, actions, old_probs, adv = ppo.flatten_trajectory(traj, advantages)
+        if self.mesh is not None:
+            from consolver_tpu.dist import mesh as meshlib
+
+            conds, actions, old_probs, adv = meshlib.shard_batch(
+                self.mesh, (conds, actions, old_probs, adv)
+            )
         metrics = {}
         for _ in range(cfg.ppo.ppo_epochs):
             self.params, self.opt_state, metrics = self._update(

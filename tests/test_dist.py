@@ -116,3 +116,45 @@ def test_multislice_mesh_dp():
 def test_assert_params_synced():
     params = {"a": jnp.ones((3,)), "b": {"c": jnp.full((2,), 2.0)}}
     assert np.isclose(meshlib.assert_params_synced(params), 7.0)
+
+
+def test_trainer_with_mesh_matches_single_device(tmp_path):
+    """PPOTrainer(mesh=...) shards the PPO update over the data axis and
+    must produce the same parameters as the unsharded trainer."""
+    from tests.test_pipeline import make_tiny_stack
+    from consolver_tpu.pipelines.t2i import TextToImagePipeline
+    from consolver_tpu.rewards.registry import make_reward_fn
+    from consolver_tpu.rl.train import PPOTrainer, TrainConfig
+    from consolver_tpu.rl.ppo import PPOConfig
+
+    (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()
+    fcfg = FactorNetConfig(order_dim=3, scaler_dim=0, num_actions=11, family="sd")
+
+    def build(mesh):
+        fnet = FactorNet(fcfg)
+        pipe = TextToImagePipeline(
+            unet, unet_params, te, te_params, vae, vae_params,
+            schedules.DiffusionSchedule.sd15(),
+            factor_net=fnet, factor_params=fnet.init(jax.random.key(0)),
+        )
+        cfg = TrainConfig(
+            min_inference_steps=3, max_inference_steps=4, seed=11,
+            output_dir=str(tmp_path), ppo=PPOConfig(ppo_epochs=1, learning_rate=1e-3),
+        )
+        return PPOTrainer(pipe, make_reward_fn("image_psnr"), cfg, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "noise": rng.standard_normal((8, 8, 8, 4)).astype(np.float32),
+        "latent": rng.standard_normal((8, 8, 8, 4)).astype(np.float32),
+        "prompt_ids": np.ones((8, 4), np.int64),
+    }
+    t_ref = build(None)
+    m_ref = t_ref.train_step(dict(batch))
+    t_dp = build(meshlib.make_mesh())
+    m_dp = t_dp.train_step(dict(batch))
+
+    # reduction-order float noise only (~2e-5 relative)
+    np.testing.assert_allclose(m_ref["loss"], m_dp["loss"], rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(t_ref.params), jax.tree.leaves(t_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=3e-6)
