@@ -59,10 +59,18 @@ def load_tokenizer(path_or_name: Optional[str], kind: str = "clip",
     return HashTokenizer(vocab_size=vocab, max_length=max_length)
 
 
-def tokenize_batch(tokenizer, prompts: Sequence[str], max_length: int) -> np.ndarray:
+def tokenize_batch(
+    tokenizer, prompts: Sequence[str], max_length: int,
+    vocab_size: Optional[int] = None,
+) -> np.ndarray:
+    """``vocab_size`` clamps ids into the target model's embedding range —
+    required when a full-vocab tokenizer feeds a smaller (smoke-mode) text
+    encoder, where out-of-range gathers silently produce NaNs."""
     out = tokenizer(
         list(prompts), padding="max_length", max_length=max_length,
         truncation=True, return_tensors="np",
     ) if not isinstance(tokenizer, HashTokenizer) else tokenizer(prompts, max_length)
-    ids = out["input_ids"]
-    return np.asarray(ids, np.int64)
+    ids = np.asarray(out["input_ids"], np.int64)
+    if vocab_size is not None:
+        ids = ids % vocab_size
+    return ids

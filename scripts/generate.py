@@ -70,7 +70,9 @@ def main():
     latent = 64 if args.pretrained else 8
 
     def generate_batch(key, batch_prompts):
-        ids = jnp.asarray(tokenize_batch(tokenizer, batch_prompts, 77))
+        ids = jnp.asarray(tokenize_batch(
+            tokenizer, batch_prompts, 77,
+            vocab_size=pipe.text_encoder.cfg.vocab_size))
         noise = jax.random.normal(key, (len(batch_prompts), latent, latent, 4))
         images, _ = pipe(
             key, ids, noise, args.steps, args.cfg, solver=args.solver

@@ -84,8 +84,10 @@ def main():
         image = np.asarray(Image.open(img_path).convert("RGB"))
         ref01 = center_crop_resize(image, resolution)
         ref = jnp.asarray(ref01 * 2.0 - 1.0)[None]
-        t5_ids = jnp.asarray(tokenize_batch(t5_tok, [instruction], 128))
-        clip_ids = jnp.asarray(tokenize_batch(clip_tok, [instruction], 77))
+        t5_ids = jnp.asarray(tokenize_batch(t5_tok, [instruction], 128,
+            vocab_size=pipe.t5.cfg.vocab_size))
+        clip_ids = jnp.asarray(tokenize_batch(clip_tok, [instruction], 77,
+            vocab_size=pipe.clip.cfg.vocab_size))
         key = jax.random.fold_in(jax.random.key(args.seed), i)
         noise = jax.random.normal(key, (1, latent, latent, latent_ch))
         edited, _ = pipe(

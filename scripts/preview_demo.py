@@ -58,7 +58,9 @@ def main():
     tokenizer = load_tokenizer(
         os.path.join(args.pretrained, "tokenizer") if args.pretrained else None
     )
-    prompt_ids = jnp.asarray(tokenize_batch(tokenizer, [args.prompt], 77)[0])
+    prompt_ids = jnp.asarray(tokenize_batch(
+        tokenizer, [args.prompt], 77,
+        vocab_size=pipe.text_encoder.cfg.vocab_size)[0])
     latent = 64 if args.pretrained else 8
 
     session = PreviewSession(
