@@ -73,8 +73,8 @@ class PPOTrainer:
         self.global_step = 0
         update = ppo.make_update_fn(self.factor_net, self.optimizer, config.ppo)
         if mesh is not None:
-            # data-parallel: PPO batch sharded over the mesh's data axis,
-            # params/opt replicated; XLA inserts the gradient psum
+            # data-parallel: rollout and PPO batches shard over the mesh's
+            # data axis, all params replicate; XLA inserts the gradient psum
             from consolver_tpu.dist import mesh as meshlib
 
             self._update = meshlib.data_parallel_jit(
@@ -83,6 +83,9 @@ class PPOTrainer:
             self.params = meshlib.replicate(mesh, self.params)
             self.opt_state = meshlib.replicate(mesh, self.opt_state)
             self.pipe.factor_params = self.params
+            self.pipe.unet_params = meshlib.replicate(mesh, self.pipe.unet_params)
+            self.pipe.text_params = meshlib.replicate(mesh, self.pipe.text_params)
+            self.pipe.vae_params = meshlib.replicate(mesh, self.pipe.vae_params)
         else:
             self._update = jax.jit(update)
         self._decode_and_reward = jax.jit(self._decode_and_reward_impl)
@@ -115,9 +118,17 @@ class PPOTrainer:
         batch = repeat_random_sample(batch, self._host_rng)
         num_inference = self._num_inference_for_step(self.global_step)
 
+        if self.mesh is not None:
+            from consolver_tpu.dist import mesh as meshlib
+
+            batch = meshlib.shard_batch(
+                self.mesh, {k: jnp.asarray(v) for k, v in batch.items()}
+            )
         prompt_ids = jnp.asarray(batch["prompt_ids"])
-        uncond_ids = jnp.asarray(
-            batch.get("uncond_ids", np.zeros_like(batch["prompt_ids"]))
+        uncond_ids = (
+            jnp.asarray(batch["uncond_ids"])
+            if "uncond_ids" in batch
+            else jnp.zeros_like(prompt_ids)
         )
         context, uncond_context = self.pipe._encode(
             self.pipe.text_params, prompt_ids, uncond_ids
