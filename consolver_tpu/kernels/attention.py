@@ -9,11 +9,9 @@ Layout: q [B, Sq, H, D], k/v [B, Sk, H, D] -> out [B, Sq, H, D].
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 # Toggled by consolver_tpu.kernels.set_flash_attention; Pallas kernel lives in
 # consolver_tpu.kernels.flash_attention.  On by default: measured 6.8x over

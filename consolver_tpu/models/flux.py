@@ -14,7 +14,6 @@ the Kontext editing pipeline (edit_ppo/pipeline.py:589-609,660-741).
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional, Tuple
 
 import jax

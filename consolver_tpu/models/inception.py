@@ -9,8 +9,7 @@ batch norms.  NHWC.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Sequence, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ so weight conversion stays mechanical.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,13 +11,12 @@ recording for PPO) or a baseline FM zoo solver — and VAE decode.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 
-from consolver_tpu.core import schedules, solver as solver_lib
+from consolver_tpu.core import schedules
 from consolver_tpu.models import flux as flux_lib
 from consolver_tpu.pipelines import fm
 from consolver_tpu.policy.factor_net import FactorNet

@@ -12,11 +12,10 @@ timestep, cond) -> v``.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from consolver_tpu.core import schedules, solver
 from consolver_tpu.pipelines.t2i import Trajectory

@@ -10,7 +10,7 @@ learned solver is trained so the preview predicts the full-step result.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

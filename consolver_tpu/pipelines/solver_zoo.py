@@ -18,7 +18,6 @@ with the diffusers-0.26 default configurations the reference relies on.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import Callable, List, Optional, Sequence
 

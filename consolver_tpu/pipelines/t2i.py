@@ -14,12 +14,10 @@ The plain-DDIM baseline is the degenerate solver ``order_dim=1, scaler_dim=0``
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from consolver_tpu.core import schedules, solver
 from consolver_tpu.policy.factor_net import FactorNet

@@ -23,8 +23,6 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import linen as nn
-
 from consolver_tpu.policy.factor_net import FactorNetConfig, _FactorMLP, _cosine_features
 
 

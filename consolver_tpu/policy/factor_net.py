@@ -26,7 +26,7 @@ reference bug never triggered by any production config (SURVEY.md section 2.2).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Images are NHWC float in [0, 1].
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

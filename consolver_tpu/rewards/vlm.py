@@ -10,7 +10,7 @@ plug into rewards.registry.RewardModel.vlm_judge.
 from __future__ import annotations
 
 import re
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import numpy as np
 
