@@ -162,3 +162,26 @@ def test_pipeline_zoo_solver_selection():
     )
     assert bool(jnp.isfinite(lat_u).all()) and bool(jnp.isfinite(lat_d).all())
     assert not np.allclose(np.asarray(lat_u), np.asarray(lat_d))
+
+
+def test_v_prediction_pipeline():
+    """prediction_type='v_prediction' flows from the schedule through the
+    jitted denoise (scheduler_ppo.py:316-318)."""
+    (unet, unet_params), _, _ = make_tiny_stack()
+    sched = schedules.DiffusionSchedule.create(
+        num_train_timesteps=1000, beta_start=0.00085, beta_end=0.012,
+        beta_schedule="scaled_linear", prediction_type="v_prediction",
+    )
+    denoise = make_denoise_fn(
+        lambda p, x, t, c: unet.apply(p, x, t, c), sched, None, 4, 3.0
+    )
+    noise = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    ctx = jnp.zeros((1, 4, 32))
+    lat_v, _ = denoise(unet_params, None, jax.random.key(1), noise, ctx, ctx)
+    assert bool(jnp.isfinite(lat_v).all())
+    eps_sched = schedules.DiffusionSchedule.sd15()
+    denoise_e = make_denoise_fn(
+        lambda p, x, t, c: unet.apply(p, x, t, c), eps_sched, None, 4, 3.0
+    )
+    lat_e, _ = denoise_e(unet_params, None, jax.random.key(1), noise, ctx, ctx)
+    assert not np.allclose(np.asarray(lat_v), np.asarray(lat_e))

@@ -107,3 +107,13 @@ class TestFlowMatch:
     def test_flux_mu_endpoints(self):
         assert np.isclose(schedules.calculate_flux_mu(256), 0.5)
         assert np.isclose(schedules.calculate_flux_mu(4096), 1.15)
+
+
+def test_invert_sigmas():
+    """invert_sigmas flips the ladder and appends terminal 1 (the Mochi
+    convention, scheduler_fmppo.py:233-238)."""
+    cfg = schedules.FlowMatchConfig(shift=1.0, invert_sigmas=True)
+    sigmas, timesteps = schedules.fm_sigmas(cfg, 4)
+    assert sigmas[-1] == 1.0
+    assert (np.diff(sigmas) > 0).all()
+    np.testing.assert_allclose(timesteps, sigmas[:-1] * 1000)
