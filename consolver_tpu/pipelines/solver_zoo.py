@@ -131,8 +131,17 @@ class DpmMultistep(BaselineSolver):
         custom_timesteps: Optional[Sequence[int]] = None,
         custom_sigmas: Optional[np.ndarray] = None,
         grad_scales: Optional[Sequence[float]] = None,
+        noise_key: Optional[jax.Array] = None,
     ):
-        assert algorithm in ("dpmsolver", "dpmsolver++")
+        # sde-* variants follow the AMED plugin's stochastic updates
+        # (diffusers_amed_plugin_dpmpp.py:124-137,230-261); they need a
+        # jax.random key for the per-step variance noise.
+        assert algorithm in (
+            "dpmsolver", "dpmsolver++", "sde-dpmsolver", "sde-dpmsolver++"
+        )
+        if algorithm.startswith("sde-") and noise_key is None:
+            raise ValueError(f"{algorithm} requires noise_key")
+        self.noise_key = noise_key
         self.algorithm = algorithm
         self.solver_order = solver_order
         self.num_steps = num_steps
@@ -156,11 +165,16 @@ class DpmMultistep(BaselineSolver):
         self.lower_order_nums = 0
 
     def _convert(self, i: int, x, eps):
-        """eps -> the solver's prediction space (x0 for dpmsolver++)."""
-        if self.algorithm == "dpmsolver":
+        """eps -> the solver's prediction space (x0 for the ++ variants)."""
+        if self.algorithm in ("dpmsolver", "sde-dpmsolver"):
             return eps
         alpha_t, sigma_t = _alpha_sigma(self.sigmas[i])
         return (x - float(sigma_t) * eps) / float(alpha_t)
+
+    def _noise(self, i: int, shape, dtype):
+        return jax.random.normal(
+            jax.random.fold_in(self.noise_key, i), shape, dtype
+        )
 
     def _lam(self, i: int) -> float:
         alpha_t, sigma_t = _alpha_sigma(self.sigmas[i])
@@ -188,14 +202,29 @@ class DpmMultistep(BaselineSolver):
         second = self.solver_order == 2 or self.lower_order_nums < 2 or lower_order_second
 
         if first:
+            m0 = self.hist[-1]
             if self.algorithm == "dpmsolver++":
                 x = float(sigma_t / sigma_s0) * x - scale * float(
                     alpha_t * (math.exp(-h) - 1.0)
-                ) * self.hist[-1]
-            else:
+                ) * m0
+            elif self.algorithm == "dpmsolver":
                 x = float(alpha_t / alpha_s0) * x - scale * float(
                     sigma_t * (math.exp(h) - 1.0)
-                ) * self.hist[-1]
+                ) * m0
+            elif self.algorithm == "sde-dpmsolver++":
+                noise = self._noise(i, x.shape, x.dtype)
+                x = (
+                    float(sigma_t / sigma_s0 * math.exp(-h)) * x
+                    + scale * float(alpha_t * (1 - math.exp(-2.0 * h))) * m0
+                    + float(sigma_t * math.sqrt(1.0 - math.exp(-2 * h))) * noise
+                )
+            else:  # sde-dpmsolver
+                noise = self._noise(i, x.shape, x.dtype)
+                x = (
+                    float(alpha_t / alpha_s0) * x
+                    - scale * 2.0 * float(sigma_t * (math.exp(h) - 1.0)) * m0
+                    + float(sigma_t * math.sqrt(math.exp(2 * h) - 1.0)) * noise
+                )
         elif second:
             lam_s1 = self._lam(i - 1)
             h_0 = lam_s0 - lam_s1
@@ -206,10 +235,32 @@ class DpmMultistep(BaselineSolver):
             if self.algorithm == "dpmsolver++":  # midpoint
                 c = float(alpha_t * (math.exp(-h) - 1.0))
                 x = float(sigma_t / sigma_s0) * x - scale * c * d0 - scale * 0.5 * c * d1
-            else:  # midpoint
+            elif self.algorithm == "dpmsolver":  # midpoint
                 c = float(sigma_t * (math.exp(h) - 1.0))
                 x = float(alpha_t / alpha_s0) * x - scale * c * d0 - scale * 0.5 * c * d1
+            elif self.algorithm == "sde-dpmsolver++":  # midpoint
+                noise = self._noise(i, x.shape, x.dtype)
+                c = float(alpha_t * (1 - math.exp(-2.0 * h)))
+                x = (
+                    float(sigma_t / sigma_s0 * math.exp(-h)) * x
+                    + scale * c * d0
+                    + scale * 0.5 * c * d1
+                    + float(sigma_t * math.sqrt(1.0 - math.exp(-2 * h))) * noise
+                )
+            else:  # sde-dpmsolver midpoint
+                noise = self._noise(i, x.shape, x.dtype)
+                c = float(sigma_t * (math.exp(h) - 1.0))
+                x = (
+                    float(alpha_t / alpha_s0) * x
+                    - scale * 2.0 * c * d0
+                    - scale * c * d1
+                    + float(sigma_t * math.sqrt(math.exp(2 * h) - 1.0)) * noise
+                )
         else:  # third order
+            if self.algorithm.startswith("sde-"):
+                raise NotImplementedError(
+                    "sde variants support solver_order <= 2 (as in the plugin)"
+                )
             lam_s1, lam_s2 = self._lam(i - 1), self._lam(i - 2)
             h_0, h_1 = lam_s0 - lam_s1, lam_s1 - lam_s2
             r0, r1 = h_0 / h, h_1 / h
