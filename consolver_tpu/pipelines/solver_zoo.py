@@ -607,8 +607,17 @@ class Ddim(BaselineSolver):
         num_steps: int,
         timestep_spacing: str = "leading",
         steps_offset: int = 1,
+        eta: float = 0.0,
+        noise_key: Optional[jax.Array] = None,
     ):
+        """eta > 0 enables stochastic DDIM (the pipeline's eta parameter,
+        gen_ppo.py generate_batch_images eta arg): per-step variance
+        sigma_t = eta * sqrt((1-a_prev)/(1-a_t)) * sqrt(1 - a_t/a_prev)."""
+        if eta > 0 and noise_key is None:
+            raise ValueError("eta > 0 requires noise_key")
         self.schedule = schedule
+        self.eta = eta
+        self.noise_key = noise_key
         self.timesteps = schedules.spaced_timesteps(
             schedule.num_train_timesteps, num_steps, timestep_spacing, steps_offset
         )
@@ -627,7 +636,21 @@ class Ddim(BaselineSolver):
             float(abar[t_prev]) if t_prev >= 0 else float(self.schedule.final_alpha_cumprod)
         )
         x0 = (x - (1 - a_t) ** 0.5 * eps) / a_t**0.5
-        return a_prev**0.5 * x0 + (1 - a_prev) ** 0.5 * eps
+        if self.eta <= 0:
+            return a_prev**0.5 * x0 + (1 - a_prev) ** 0.5 * eps
+        sigma = (
+            self.eta
+            * math.sqrt((1 - a_prev) / (1 - a_t))
+            * math.sqrt(1 - a_t / a_prev)
+        )
+        noise = jax.random.normal(
+            jax.random.fold_in(self.noise_key, i), x.shape, x.dtype
+        )
+        return (
+            a_prev**0.5 * x0
+            + math.sqrt(max(1 - a_prev - sigma**2, 0.0)) * eps
+            + sigma * noise
+        )
 
 
 # ---------------------------------------------------------------------------

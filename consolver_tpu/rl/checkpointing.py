@@ -1,0 +1,93 @@
+"""Shared trainer checkpointing: orbax with the reference's "latest"
+semantics (checkpoint-{step} dirs, total-limit pruning, resume restoring
+global_step — train_ppo.py:290-311,445-449; identical hooks in the edit
+trainer, edit_ppo/train_ppo.py:117-133).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+
+class CheckpointMixin:
+    """Requires: self.config (output_dir, checkpoints_total_limit),
+    self.params, self.opt_state, self.global_step, self.pipe."""
+
+    def save_checkpoint(self) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(
+            os.path.join(self.config.output_dir, f"checkpoint-{self.global_step}")
+        )
+        ocp.PyTreeCheckpointer().save(
+            path,
+            {
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "global_step": self.global_step,
+            },
+            force=True,
+        )
+        self._enforce_total_limit()
+        return path
+
+    def _enforce_total_limit(self):
+        limit = getattr(self.config, "checkpoints_total_limit", None)
+        if not limit:
+            return
+        for d in self._checkpoint_dirs()[:-limit]:
+            shutil.rmtree(
+                os.path.join(self.config.output_dir, d), ignore_errors=True
+            )
+
+    def _checkpoint_dirs(self):
+        if not os.path.isdir(self.config.output_dir):
+            return []
+        dirs = [
+            d for d in os.listdir(self.config.output_dir)
+            if d.startswith("checkpoint-")
+        ]
+        return sorted(dirs, key=lambda d: int(d.split("-")[1]))
+
+    def resume_from_checkpoint(self, which: str = "latest") -> bool:
+        import orbax.checkpoint as ocp
+
+        if which == "latest":
+            dirs = self._checkpoint_dirs()
+            if not dirs:
+                return False
+            path = os.path.join(self.config.output_dir, dirs[-1])
+        else:
+            path = which
+        restored = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(path),
+            item={
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "global_step": 0,
+            },
+        )
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.global_step = int(restored["global_step"])
+        self.pipe.factor_params = self.params
+        return True
+
+    def save_pretrained(self, output_dir: str) -> str:
+        """Final policy export: factor-net params + config json (the
+        reference's save_pretrained / model.ckpt, train_ppo.py:466-469).
+        Loadable via orbax restore + FactorNetConfig(**json)."""
+        import dataclasses
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(output_dir, "factor_net"))
+        ocp.PyTreeCheckpointer().save(path, self.params, force=True)
+        net = self.pipe.factor_net
+        cfg = getattr(net, "config", None)
+        if cfg is not None:
+            with open(os.path.join(output_dir, "factor_net_config.json"), "w") as f:
+                json.dump(dataclasses.asdict(cfg), f, indent=2)
+        return path

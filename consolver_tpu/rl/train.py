@@ -48,7 +48,10 @@ class TrainConfig:
     ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
 
 
-class PPOTrainer:
+from consolver_tpu.rl.checkpointing import CheckpointMixin
+
+
+class PPOTrainer(CheckpointMixin):
     """Single- or multi-host PPO trainer over a :class:`TextToImagePipeline`
     whose scheduler is the learnable solver (factor_net attached)."""
 
@@ -167,73 +170,6 @@ class PPOTrainer:
         out["reward"] = float(rewards.mean())
         out["num_inference"] = num_inference
         return out
-
-    # ------------------------------------------------------------------
-    # Checkpointing (orbax), reference "latest" semantics
-    def save_checkpoint(self) -> str:
-        import orbax.checkpoint as ocp
-
-        path = os.path.abspath(
-            os.path.join(self.config.output_dir, f"checkpoint-{self.global_step}")
-        )
-        ckpt = ocp.PyTreeCheckpointer()
-        ckpt.save(
-            path,
-            {
-                "params": self.params,
-                "opt_state": self.opt_state,
-                "global_step": self.global_step,
-            },
-            force=True,
-        )
-        self._enforce_total_limit()
-        return path
-
-    def _enforce_total_limit(self):
-        limit = self.config.checkpoints_total_limit
-        if not limit:
-            return
-        dirs = self._checkpoint_dirs()
-        for d in dirs[:-limit]:
-            import shutil
-
-            shutil.rmtree(os.path.join(self.config.output_dir, d), ignore_errors=True)
-
-    def _checkpoint_dirs(self):
-        if not os.path.isdir(self.config.output_dir):
-            return []
-        dirs = [
-            d
-            for d in os.listdir(self.config.output_dir)
-            if d.startswith("checkpoint-")
-        ]
-        return sorted(dirs, key=lambda d: int(d.split("-")[1]))
-
-    def resume_from_checkpoint(self, which: str = "latest") -> bool:
-        """Restore params/opt_state/global_step (train_ppo.py:290-311)."""
-        import orbax.checkpoint as ocp
-
-        if which == "latest":
-            dirs = self._checkpoint_dirs()
-            if not dirs:
-                return False
-            path = os.path.join(self.config.output_dir, dirs[-1])
-        else:
-            path = which
-        ckpt = ocp.PyTreeCheckpointer()
-        restored = ckpt.restore(
-            os.path.abspath(path),
-            item={
-                "params": self.params,
-                "opt_state": self.opt_state,
-                "global_step": 0,
-            },
-        )
-        self.params = restored["params"]
-        self.opt_state = restored["opt_state"]
-        self.global_step = int(restored["global_step"])
-        self.pipe.factor_params = self.params
-        return True
 
     # ------------------------------------------------------------------
     def fit(self, batches, log_fn: Optional[Callable[[int, Dict], None]] = None):

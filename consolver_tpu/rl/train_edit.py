@@ -29,7 +29,10 @@ from consolver_tpu.rl import ppo
 from consolver_tpu.rl.train import TrainConfig
 
 
-class EditPPOTrainer:
+from consolver_tpu.rl.checkpointing import CheckpointMixin
+
+
+class EditPPOTrainer(CheckpointMixin):
     def __init__(
         self,
         pipeline: FluxKontextPipeline,

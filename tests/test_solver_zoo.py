@@ -276,3 +276,29 @@ class TestSdeVariants:
         # discretization doubles the data-term weight); both stay finite and
         # pull toward the same x0 prediction
         assert np.isfinite(out_s).all() and np.isfinite(out_d).all()
+
+
+class TestDdimEta:
+    def test_eta_requires_key(self):
+        with pytest.raises(ValueError):
+            Ddim(SCHED, 8, eta=1.0)
+
+    def test_eta_zero_unchanged(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((1, 6)).astype(np.float32))
+        a = run_solver(Ddim(SCHED, 8), x, TestConvergence.eps_model)
+        b = run_solver(Ddim(SCHED, 8, eta=0.0), x, TestConvergence.eps_model)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_eta_stochastic_and_reproducible(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 6)).astype(np.float32))
+
+        def run(key):
+            s = Ddim(SCHED, 8, eta=1.0, noise_key=jax.random.key(key))
+            return np.asarray(run_solver(s, x, TestConvergence.eps_model))
+
+        a, b, a2 = run(1), run(2), run(1)
+        assert np.isfinite(a).all()
+        assert not np.allclose(a, b)
+        np.testing.assert_allclose(a, a2)

@@ -48,3 +48,35 @@ def test_edit_trainer_end_to_end(pipe, tmp_path):  # noqa: F811
         )
     )
     assert changed
+
+
+def test_edit_trainer_checkpoint_resume(pipe, tmp_path):  # noqa: F811
+    config = TrainConfig(
+        min_inference_steps=2, max_inference_steps=3,
+        output_dir=str(tmp_path), ppo=PPOConfig(ppo_epochs=1),
+    )
+    trainer = EditPPOTrainer(pipe, make_reward_fn("image_psnr"), config)
+    rng = np.random.default_rng(1)
+    batch = {
+        "noise": rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+        "latent": rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+        "ref_image": np.zeros((2, 16, 16, 3), np.float32),
+        "t5_ids": np.ones((2, 4), np.int64),
+        "clip_ids": np.ones((2, 4), np.int64),
+    }
+    trainer.train_step(dict(batch))
+    trainer.save_checkpoint()
+    # save_pretrained export
+    export = trainer.save_pretrained(str(tmp_path / "final"))
+    import os
+    assert os.path.isdir(export)
+    assert (tmp_path / "final" / "factor_net_config.json").exists()
+
+    trainer2 = EditPPOTrainer(pipe, make_reward_fn("image_psnr"), config)
+    assert trainer2.resume_from_checkpoint("latest")
+    assert trainer2.global_step == 1
+    same = all(
+        np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(trainer.params), jax.tree.leaves(trainer2.params))
+    )
+    assert same
