@@ -236,3 +236,30 @@ def fm_scale_noise(
     shape = sigma.shape + (1,) * (sample.ndim - sigma.ndim)
     sigma = sigma.reshape(shape).astype(sample.dtype)
     return sigma * noise + (1.0 - sigma) * sample
+
+
+def fm_per_token_update(
+    sample: jax.Array,
+    velocity: jax.Array,
+    per_token_timesteps: jax.Array,
+    sigma_ladder: jax.Array,
+    num_train_timesteps: int = 1000,
+) -> jax.Array:
+    """Per-token flow-matching Euler step (scheduler_fmppo.py:363-371).
+
+    Each token advances from its own sigma to the largest ladder sigma
+    strictly below it: dt_token = next_sigma - current_sigma.
+
+    sample/velocity: [B, S, C]; per_token_timesteps: [B, S] in train-timestep
+    units; sigma_ladder: [L] descending inference sigmas (with terminal 0).
+    """
+    per_token_sigmas = per_token_timesteps.astype(jnp.float32) / num_train_timesteps
+    ladder = sigma_ladder.astype(jnp.float32)  # [L]
+    lower_mask = ladder[:, None, None] < per_token_sigmas[None] - 1e-6  # [L, B, S]
+    lower_sigmas = jnp.max(
+        jnp.where(lower_mask, ladder[:, None, None], 0.0), axis=0
+    )  # [B, S]
+    dt = (lower_sigmas - per_token_sigmas)[..., None]
+    return (sample.astype(jnp.float32) + dt * velocity.astype(jnp.float32)).astype(
+        sample.dtype
+    )
