@@ -27,6 +27,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--solver", default="consistencysolver")
+    ap.add_argument("--eta", type=float, default=0.0,
+                    help="stochastic DDIM eta (solver=ddim/dmd2 only)")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--cfg", type=float, default=3.0)
     ap.add_argument("--prompts", default=None,
@@ -69,15 +71,51 @@ def main():
     )
     latent = 64 if args.pretrained else 8
 
-    def generate_batch(key, batch_prompts):
-        ids = jnp.asarray(tokenize_batch(
-            tokenizer, batch_prompts, 77,
-            vocab_size=pipe.text_encoder.cfg.vocab_size))
-        noise = jax.random.normal(key, (len(batch_prompts), latent, latent, 4))
-        images, _ = pipe(
-            key, ids, noise, args.steps, args.cfg, solver=args.solver
-        )
-        return images
+    if args.eta > 0:
+        # stochastic DDIM goes through the zoo solver directly (the eta
+        # parameter of the reference pipeline call)
+        from consolver_tpu.models.vae import decode_latents
+        from consolver_tpu.pipelines.solver_zoo import Ddim
+
+        def make_eta_denoise(key):
+            solver = Ddim(
+                pipe.schedule, args.steps,
+                timestep_spacing="trailing" if args.solver == "dmd2" else "leading",
+                steps_offset=0 if args.solver == "dmd2" else 1,
+                eta=args.eta, noise_key=key,
+            )
+
+            @jax.jit
+            def run(up, noise, ctx, unc):
+                x = noise
+                for i, t in enumerate(solver.timesteps):
+                    tb = jnp.full((x.shape[0],), int(t), jnp.int32)
+                    e_u = pipe.unet.apply(up, x, tb, unc)
+                    e_c = pipe.unet.apply(up, x, tb, ctx)
+                    eps = e_u + args.cfg * (e_c - e_u)
+                    x = solver.step(i, x, eps.astype(jnp.float32))
+                return x
+
+            return run
+
+        def generate_batch(key, batch_prompts):
+            ids = jnp.asarray(tokenize_batch(
+                tokenizer, batch_prompts, 77,
+                vocab_size=pipe.text_encoder.cfg.vocab_size))
+            ctx, unc = pipe._encode(pipe.text_params, ids, jnp.zeros_like(ids))
+            noise = jax.random.normal(key, (len(batch_prompts), latent, latent, 4))
+            latents = make_eta_denoise(key)(pipe.unet_params, noise, ctx, unc)
+            return decode_latents(pipe.vae, pipe.vae_params, latents)
+    else:
+        def generate_batch(key, batch_prompts):
+            ids = jnp.asarray(tokenize_batch(
+                tokenizer, batch_prompts, 77,
+                vocab_size=pipe.text_encoder.cfg.vocab_size))
+            noise = jax.random.normal(key, (len(batch_prompts), latent, latent, 4))
+            images, _ = pipe(
+                key, ids, noise, args.steps, args.cfg, solver=args.solver
+            )
+            return images
 
     files = generate_sweep(
         generate_batch, prompts, args.out, args.batch_size, args.seed

@@ -259,3 +259,118 @@ class TestConverter:
         walk(init_tree, "")
         converted = convert.convert_unet(sd)["params"]
         convert.assert_tree_matches(converted, jax.tree.map(lambda x: x, init_tree))
+
+
+class TestRealDiffusersKeys:
+    """Converter mapping checked against REAL hub checkpoint key names (the
+    publicly documented diffusers/transformers formats) — catches naming
+    drift the synthesized round-trips can't."""
+
+    def test_sd15_unet_keys_map_to_init_paths(self):
+        cfg = UNetConfig.sd15()
+        model = UNet2DCondition(cfg)
+        init = jax.eval_shape(
+            model.init, jax.random.key(0), jnp.zeros((1, 64, 64, 4)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768)),
+        )["params"]
+
+        real_keys = {
+            "conv_in.weight": (320, 4, 3, 3),
+            "time_embedding.linear_1.weight": (1280, 320),
+            "time_embedding.linear_2.bias": (1280,),
+            "down_blocks.0.resnets.0.norm1.weight": (320,),
+            "down_blocks.0.resnets.0.conv1.weight": (320, 320, 3, 3),
+            "down_blocks.0.resnets.0.time_emb_proj.weight": (320, 1280),
+            "down_blocks.0.attentions.0.norm.weight": (320,),
+            "down_blocks.0.attentions.0.proj_in.weight": (320, 320, 1, 1),
+            "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.weight": (320, 320),
+            "down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k.weight": (320, 768),
+            "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_out.0.weight": (320, 320),
+            "down_blocks.0.attentions.0.transformer_blocks.0.ff.net.0.proj.weight": (2560, 320),
+            "down_blocks.0.attentions.0.transformer_blocks.0.ff.net.2.weight": (320, 1280),
+            "down_blocks.0.attentions.0.transformer_blocks.0.norm3.weight": (320,),
+            "down_blocks.0.downsamplers.0.conv.weight": (320, 320, 3, 3),
+            "down_blocks.1.resnets.0.conv_shortcut.weight": (640, 320, 1, 1),
+            "mid_block.resnets.0.conv2.weight": (1280, 1280, 3, 3),
+            "mid_block.attentions.0.proj_out.weight": (1280, 1280, 1, 1),
+            "up_blocks.0.resnets.0.conv1.weight": (1280, 2560, 3, 3),
+            "up_blocks.1.upsamplers.0.conv.weight": (1280, 1280, 3, 3),
+            "conv_norm_out.weight": (320,),
+            "conv_out.weight": (4, 320, 3, 3),
+        }
+        sd = {k: np.zeros(s, np.float32) for k, s in real_keys.items()}
+        tree = convert.convert_unet(sd)["params"]
+
+        def lookup(node, path):
+            for comp in path:
+                assert comp in node, f"missing {comp} of {path} (have {sorted(node)[:8]}...)"
+                node = node[comp]
+            return node
+
+        checks = {
+            ("conv_in", "kernel"): (3, 3, 4, 320),
+            ("time_embedding", "linear_1", "kernel"): (320, 1280),
+            ("down_blocks_0", "resnets_0", "norm1", "scale"): (320,),
+            ("down_blocks_0", "resnets_0", "time_emb_proj", "kernel"): (1280, 320),
+            ("down_blocks_0", "attentions_0", "proj_in", "kernel"): (1, 1, 320, 320),
+            ("down_blocks_0", "attentions_0", "transformer_blocks_0", "attn1",
+             "to_out_0", "kernel"): (320, 320),
+            ("down_blocks_0", "attentions_0", "transformer_blocks_0", "ff",
+             "net_0", "proj", "kernel"): (320, 2560),
+            ("down_blocks_0", "downsamplers_0", "conv", "kernel"): (3, 3, 320, 320),
+            ("down_blocks_1", "resnets_0", "conv_shortcut", "kernel"): (1, 1, 320, 640),
+            ("up_blocks_0", "resnets_0", "conv1", "kernel"): (3, 3, 2560, 1280),
+            ("up_blocks_1", "upsamplers_0", "conv", "kernel"): (3, 3, 1280, 1280),
+            ("conv_out", "kernel"): (3, 3, 320, 4),
+        }
+        for path, shape in checks.items():
+            leaf = lookup(tree, path)
+            assert leaf.shape == shape, (path, leaf.shape, shape)
+            # and the path exists in the real init tree with the same shape
+            init_leaf = lookup(init, path)
+            assert tuple(init_leaf.shape) == shape, (path, init_leaf.shape)
+
+    def test_sd_vae_keys_map(self):
+        from consolver_tpu.models.vae import AutoencoderKL, VaeConfig
+
+        vae = AutoencoderKL(VaeConfig.sd15())
+        init = jax.eval_shape(
+            vae.init, jax.random.key(0), jnp.zeros((1, 64, 64, 3)), jax.random.key(1)
+        )["params"]
+        real_keys = {
+            "encoder.conv_in.weight": (128, 3, 3, 3),
+            "encoder.down_blocks.0.resnets.0.conv1.weight": (128, 128, 3, 3),
+            "encoder.down_blocks.0.downsamplers.0.conv.weight": (128, 128, 3, 3),
+            "encoder.mid_block.attentions.0.to_q.weight": (512, 512),
+            "encoder.mid_block.attentions.0.group_norm.weight": (512,),
+            "encoder.conv_out.weight": (8, 512, 3, 3),
+            "decoder.up_blocks.0.resnets.2.conv2.weight": (512, 512, 3, 3),
+            "decoder.up_blocks.0.upsamplers.0.conv.weight": (512, 512, 3, 3),
+            "quant_conv.weight": (8, 8, 1, 1),
+            "post_quant_conv.weight": (4, 4, 1, 1),
+        }
+        sd = {k: np.zeros(s, np.float32) for k, s in real_keys.items()}
+        tree = convert.convert_vae(sd)["params"]
+
+        def lookup(node, path):
+            for comp in path:
+                assert comp in node, f"missing {comp} of {path}"
+                node = node[comp]
+            return node
+
+        for path in [
+            ("encoder", "conv_in", "kernel"),
+            ("encoder", "down_blocks_0", "resnets_0", "conv1", "kernel"),
+            ("encoder", "down_blocks_0", "downsamplers_0", "conv", "kernel"),
+            ("encoder", "mid_block", "attentions_0", "to_q", "kernel"),
+            ("encoder", "mid_block", "attentions_0", "group_norm", "scale"),
+            ("decoder", "up_blocks_0", "resnets_2", "conv2", "kernel"),
+            ("decoder", "up_blocks_0", "upsamplers_0", "conv", "kernel"),
+            ("quant_conv", "kernel"),
+            ("post_quant_conv", "kernel"),
+        ]:
+            leaf = lookup(tree, path)
+            init_leaf = lookup(init, path)
+            assert tuple(leaf.shape) == tuple(init_leaf.shape), (
+                path, leaf.shape, init_leaf.shape,
+            )
