@@ -5,6 +5,7 @@ TPU-native replacement for 'test DDP without a cluster' (SURVEY.md section 4).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from consolver_tpu.core import schedules
 from consolver_tpu.dist import mesh as meshlib
@@ -118,6 +119,7 @@ def test_assert_params_synced():
     assert np.isclose(meshlib.assert_params_synced(params), 7.0)
 
 
+@pytest.mark.slow
 def test_trainer_with_mesh_matches_single_device(tmp_path):
     """PPOTrainer(mesh=...) shards the PPO update over the data axis and
     must produce the same parameters as the unsharded trainer."""

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from consolver_tpu.core import schedules, solver
 from consolver_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
@@ -28,6 +29,7 @@ def make_tiny_stack(key=0):
     return (unet, unet_params), (te, te_params), (vae, vae_params)
 
 
+@pytest.mark.slow
 def test_ddim_pipeline_matches_manual_loop():
     """order_dim=1 degenerate solver == a hand-written plain DDIM loop."""
     (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()
@@ -142,6 +144,7 @@ def test_use_conv_records_epsilon():
     assert traj.conds_eps.shape == (1, 2, 2, 8, 8, 4)
 
 
+@pytest.mark.slow
 def test_pipeline_zoo_solver_selection():
     """TextToImagePipeline dispatches baseline zoo solvers by name."""
     (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()

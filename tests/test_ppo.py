@@ -115,6 +115,7 @@ def test_update_moves_toward_positive_advantage():
     assert after > before
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(tmp_path):
     """Tiny full loop: rollout -> psnr reward -> PPO update -> checkpoint
     -> resume."""
@@ -214,6 +215,7 @@ def test_reward_metrics():
     )
 
 
+@pytest.mark.slow
 def test_fit_checkpoints_on_failure(tmp_path):
     """fit() must save state before propagating an unexpected error."""
     from tests.test_pipeline import make_tiny_stack

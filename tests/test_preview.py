@@ -14,6 +14,7 @@ from tests.test_solver_zoo import run_solver
 SCHED = schedules.DiffusionSchedule.sd15()
 
 
+@pytest.mark.slow
 def test_preview_refine_workflow():
     (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()
     fcfg = FactorNetConfig(order_dim=4, scaler_dim=0, num_actions=11, family="sd")

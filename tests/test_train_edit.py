@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from consolver_tpu.rewards.registry import make_reward_fn
 from consolver_tpu.rl.ppo import PPOConfig
@@ -9,6 +10,7 @@ from consolver_tpu.rl.train_edit import EditPPOTrainer
 from tests.test_edit import pipe  # noqa: F401  (fixture)
 
 
+@pytest.mark.slow
 def test_edit_trainer_end_to_end(pipe, tmp_path):  # noqa: F811
     config = TrainConfig(
         max_train_steps=2,
@@ -50,6 +52,7 @@ def test_edit_trainer_end_to_end(pipe, tmp_path):  # noqa: F811
     assert changed
 
 
+@pytest.mark.slow
 def test_edit_trainer_checkpoint_resume(pipe, tmp_path):  # noqa: F811
     config = TrainConfig(
         min_inference_steps=2, max_inference_steps=3,
