@@ -16,11 +16,16 @@ class CheckpointMixin:
     self.params, self.opt_state, self.global_step, self.pipe."""
 
     def save_checkpoint(self) -> str:
+        import jax
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(
             os.path.join(self.config.output_dir, f"checkpoint-{self.global_step}")
         )
+        # multi-host: params/opt_state are replicated, so only process 0
+        # writes (every host racing on the same orbax dir corrupts it)
+        if jax.process_index() != 0:
+            return path
         ocp.PyTreeCheckpointer().save(
             path,
             {
@@ -81,9 +86,12 @@ class CheckpointMixin:
         Loadable via orbax restore + FactorNetConfig(**json)."""
         import dataclasses
 
+        import jax
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(output_dir, "factor_net"))
+        if jax.process_index() != 0:
+            return path
         ocp.PyTreeCheckpointer().save(path, self.params, force=True)
         net = self.pipe.factor_net
         cfg = getattr(net, "config", None)

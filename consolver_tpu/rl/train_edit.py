@@ -9,7 +9,12 @@ trainer (rl/train.py), reproduced from the reference:
     (:290-300) whose reward clips the group mean from below in the
     advantage (:316-326) — no x10 scaling;
   * ppo_epochs=4 (run_ppo.sh), group batch includes the reference image;
-  * optional per-step sample dumps labeled with the advantage (:404-416).
+  * optional per-step sample dumps labeled with the advantage (:404-416);
+  * mesh data-parallelism: the reference's FLUX trainer is the 8-way DDP
+    one (edit_ppo/run_ppo.sh:5, accelerate_config.yaml:1-5) — here the
+    group batch shards over the mesh's data axis, the policy/optimizer
+    replicate, XLA inserts the gradient psum, and (on a 2-D mesh) the
+    frozen DiT tensor-shards by dist/tp.FLUX_TP_RULES.
 """
 
 from __future__ import annotations
@@ -38,6 +43,7 @@ class EditPPOTrainer(CheckpointMixin):
         pipeline: FluxKontextPipeline,
         reward_fn: Callable[[jax.Array, jax.Array], jax.Array],
         config: TrainConfig,
+        mesh=None,
         dump_samples_to: Optional[str] = None,
     ):
         if pipeline.factor_net is None:
@@ -45,15 +51,37 @@ class EditPPOTrainer(CheckpointMixin):
         self.pipe = pipeline
         self.reward_fn = reward_fn
         self.config = config
+        self.mesh = mesh
         self.dump_samples_to = dump_samples_to
 
         self.params = pipeline.factor_params
         self.optimizer = ppo.make_optimizer(config.ppo)
         self.opt_state = self.optimizer.init(self.params)
         self.global_step = 0
-        self._update = jax.jit(
-            ppo.make_update_fn(self.factor_net, self.optimizer, config.ppo)
-        )
+        update = ppo.make_update_fn(self.factor_net, self.optimizer, config.ppo)
+        if mesh is not None:
+            from consolver_tpu.dist import mesh as meshlib
+            from consolver_tpu.dist.tp import FLUX_TP_RULES, shard_params_by_rules
+
+            self._update = meshlib.data_parallel_jit(
+                update, mesh, batch_argnums=(2, 3, 4, 5)
+            )
+            self.params = meshlib.replicate(mesh, self.params)
+            self.opt_state = meshlib.replicate(mesh, self.opt_state)
+            pipeline.factor_params = self.params
+            if meshlib.MODEL_AXIS in mesh.axis_names:
+                pipeline.transformer_params = shard_params_by_rules(
+                    mesh, pipeline.transformer_params, FLUX_TP_RULES
+                )
+            else:
+                pipeline.transformer_params = meshlib.replicate(
+                    mesh, pipeline.transformer_params
+                )
+            pipeline.t5_params = meshlib.replicate(mesh, pipeline.t5_params)
+            pipeline.clip_params = meshlib.replicate(mesh, pipeline.clip_params)
+            pipeline.vae_params = meshlib.replicate(mesh, pipeline.vae_params)
+        else:
+            self._update = jax.jit(update)
         self._host_rng = random.Random(config.seed)
 
     @property
@@ -74,27 +102,45 @@ class EditPPOTrainer(CheckpointMixin):
         batch = repeat_random_sample(batch, self._host_rng)
         num_inference = self._num_inference_for_step(self.global_step)
         key = jax.random.fold_in(jax.random.key(cfg.seed), self.global_step)
+        # distinct streams for the baseline vs policy rollouts: the Euler
+        # baseline consumes no randomness today, but sde zoo solvers would
+        # silently correlate with the policy rollout on a shared key
+        base_key, policy_key = jax.random.split(key)
 
         t5_ids = jnp.asarray(batch["t5_ids"])
         clip_ids = jnp.asarray(batch["clip_ids"])
         ref_image = jnp.asarray(batch["ref_image"])
         noise = jnp.asarray(batch["noise"])
+        target = jnp.asarray(batch["latent"])
+
+        if self.mesh is not None:
+            from consolver_tpu.dist import mesh as meshlib
+
+            # group batch shards over the data axis; the 1-sample baseline
+            # rollout stays replicated (it cannot shard)
+            t5_ids, clip_ids, ref_image, noise, target = meshlib.shard_batch(
+                self.mesh, (t5_ids, clip_ids, ref_image, noise, target)
+            )
 
         # --- baseline rollout: naive Euler on ONE sample (:290-300) ---
+        base_in = (t5_ids[:1], clip_ids[:1], ref_image[:1], noise[:1])
+        if self.mesh is not None:
+            from consolver_tpu.dist import mesh as meshlib
+
+            base_in = meshlib.replicate(self.mesh, base_in)
         base_latents, _ = self.pipe(
-            key, t5_ids[:1], clip_ids[:1], ref_image[:1], noise[:1],
+            base_key, *base_in,
             num_inference_steps=num_inference,
             guidance_scale=cfg.guidance_scale, solver="euler", decode=False,
         )
 
         # --- policy rollout over the group batch ---
         latents, traj = self.pipe(
-            key, t5_ids, clip_ids, ref_image, noise,
+            policy_key, t5_ids, clip_ids, ref_image, noise,
             num_inference_steps=num_inference,
             guidance_scale=cfg.guidance_scale, solver="fmppo", decode=False,
         )
 
-        target = jnp.asarray(batch["latent"])
         pred_img = self.pipe.decode_latents(latents)
         target_img = self.pipe.decode_latents(target)
         base_img = self.pipe.decode_latents(base_latents)
@@ -104,6 +150,12 @@ class EditPPOTrainer(CheckpointMixin):
         advantages = ppo.baseline_clipped_advantages(rewards, base_reward)
 
         conds, actions, old_probs, adv = ppo.flatten_trajectory(traj, advantages)
+        if self.mesh is not None:
+            from consolver_tpu.dist import mesh as meshlib
+
+            conds, actions, old_probs, adv = meshlib.shard_batch(
+                self.mesh, (conds, actions, old_probs, adv)
+            )
         metrics = {}
         for _ in range(cfg.ppo.ppo_epochs):
             self.params, self.opt_state, metrics = self._update(

@@ -52,6 +52,72 @@ def test_edit_trainer_end_to_end(pipe, tmp_path):  # noqa: F811
     assert changed
 
 
+def test_edit_trainer_mesh_matches_single_device(pipe, tmp_path):  # noqa: F811
+    """EditPPOTrainer(mesh=...) — the TPU-native replacement for the
+    reference's 8-way DDP FLUX trainer (edit_ppo/run_ppo.sh:5) — must
+    produce the same rollout rewards as the unsharded trainer, and its
+    params must live replicated on all devices."""
+    from consolver_tpu.dist import mesh as meshlib
+
+    def build(mesh, out):
+        # fresh factor params per trainer (the fixture pipe is shared)
+        pipe.factor_params = pipe.factor_net.init(jax.random.key(7))
+        config = TrainConfig(
+            min_inference_steps=3, max_inference_steps=4, seed=5,
+            output_dir=out, ppo=PPOConfig(ppo_epochs=1, learning_rate=1e-3),
+        )
+        return EditPPOTrainer(pipe, make_reward_fn("image_psnr"), config, mesh=mesh)
+
+    rng = np.random.default_rng(2)
+    batch = {
+        "noise": rng.standard_normal((8, 8, 8, 4)).astype(np.float32),
+        "latent": rng.standard_normal((8, 8, 8, 4)).astype(np.float32),
+        "ref_image": np.zeros((8, 16, 16, 3), np.float32),
+        "t5_ids": np.ones((8, 4), np.int64),
+        "clip_ids": np.ones((8, 4), np.int64),
+    }
+    t_ref = build(None, str(tmp_path / "ref"))
+    m_ref = t_ref.train_step(dict(batch))
+
+    t_dp = build(meshlib.make_mesh(), str(tmp_path / "dp"))
+    m_dp = t_dp.train_step(dict(batch))
+
+    np.testing.assert_allclose(m_ref["reward"], m_dp["reward"], rtol=1e-4)
+    np.testing.assert_allclose(
+        m_ref["baseline_reward"], m_dp["baseline_reward"], rtol=1e-4
+    )
+    for leaf in jax.tree.leaves(t_dp.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    some = jax.tree.leaves(t_dp.params)[0]
+    assert len(some.sharding.device_set) == 8
+
+
+def test_edit_trainer_2d_mesh_tp(pipe, tmp_path):  # noqa: F811
+    """4x2 data x model mesh: the frozen DiT tensor-shards by
+    dist/tp.FLUX_TP_RULES while the batch shards over the data axis."""
+    from consolver_tpu.dist import mesh as meshlib
+
+    pipe.factor_params = pipe.factor_net.init(jax.random.key(7))
+    m = meshlib.make_mesh(
+        axis_shape=(4, 2), axis_names=(meshlib.DATA_AXIS, meshlib.MODEL_AXIS)
+    )
+    config = TrainConfig(
+        min_inference_steps=2, max_inference_steps=3, seed=5,
+        output_dir=str(tmp_path), ppo=PPOConfig(ppo_epochs=1),
+    )
+    trainer = EditPPOTrainer(pipe, make_reward_fn("image_psnr"), config, mesh=m)
+    rng = np.random.default_rng(3)
+    batch = {
+        "noise": rng.standard_normal((4, 8, 8, 4)).astype(np.float32),
+        "latent": rng.standard_normal((4, 8, 8, 4)).astype(np.float32),
+        "ref_image": np.zeros((4, 16, 16, 3), np.float32),
+        "t5_ids": np.ones((4, 4), np.int64),
+        "clip_ids": np.ones((4, 4), np.int64),
+    }
+    metrics = trainer.train_step(dict(batch))
+    assert np.isfinite(metrics["loss"]) and np.isfinite(metrics["reward"])
+
+
 @pytest.mark.slow
 def test_edit_trainer_checkpoint_resume(pipe, tmp_path):  # noqa: F811
     config = TrainConfig(
