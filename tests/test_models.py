@@ -120,6 +120,49 @@ class TestClip:
         )
         assert not np.allclose(np.asarray(out_a[:, 3]), np.asarray(out_b[:, 3]))
 
+    def test_torch_parity(self):
+        """Full-stack golden parity vs transformers' CLIPTextModel on a
+        tiny random-init config (the technique proven for T5,
+        tests/test_flux.py) — this encoder feeds every SD rollout
+        (train_ppo.py:102-107), so a numeric deviation here would corrupt
+        every generation."""
+        torch = pytest.importorskip("torch")
+        try:
+            from transformers import CLIPTextConfig as HfClipConfig, CLIPTextModel
+        except ImportError:
+            pytest.skip("transformers CLIP unavailable")
+
+        vocab = 128
+        hf_cfg = HfClipConfig(
+            vocab_size=vocab, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=77, hidden_act="quick_gelu",
+            eos_token_id=vocab - 1, bos_token_id=0, pad_token_id=1,
+        )
+        torch.manual_seed(0)
+        hf = CLIPTextModel(hf_cfg).eval()
+        # eos token (= highest id, as in real CLIP) mid-sequence, then pad
+        ids_np = np.array(
+            [[0, 5, 9, 13, vocab - 1, 1, 1, 1], [0, 7, vocab - 1, 1, 1, 1, 1, 1]],
+            dtype=np.int64,
+        )
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(ids_np))
+        ref_hidden = ref.last_hidden_state.numpy()
+        ref_pooled = ref.pooler_output.numpy()
+
+        from consolver_tpu.models.convert import convert_clip_text
+
+        cfg = ClipTextConfig(
+            vocab_size=vocab, hidden_size=32, num_layers=2, num_heads=4,
+            intermediate_size=64, max_position_embeddings=77,
+        )
+        enc = ClipTextEncoder(cfg)
+        params = convert_clip_text(hf.state_dict())
+        out, pooled = enc.apply(params, jnp.asarray(ids_np), return_pooled=True)
+        np.testing.assert_allclose(np.asarray(out), ref_hidden, rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(pooled), ref_pooled, rtol=2e-3, atol=2e-5)
+
 
 class TestTorchParity:
     """Block-level numerical parity against equivalent torch modules
