@@ -81,19 +81,43 @@ class FluxKontextPipeline:
         return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
 
     # ------------------------------------------------------------------
-    def _velocity_fn(self, seq_len_target, img_ids, txt_ids, guidance_scale):
+    def _velocity_fn(
+        self, seq_len_target, img_ids, txt_ids, guidance_scale,
+        true_cfg_scale=None,
+    ):
         """Wrap the transformer as velocity_fn(params, packed_target, t, cond):
         concatenates the conditioning reference tokens, runs the DiT with
-        timestep/1000 (edit_ppo/denoise_diffusion.py:135-145), slices back."""
+        timestep/1000 (edit_ppo/denoise_diffusion.py:135-145), slices back.
+
+        With ``true_cfg_scale`` set, cond additionally carries negative-prompt
+        embeddings and the forward is the true-CFG double pass
+        (edit_ppo/pipeline.py:1100-1115) — here 2x-batched so both branches
+        share one MXU-friendly DiT call:
+        v = v_neg + s * (v_pos - v_neg)."""
 
         def velocity(params, x, t, cond):
-            prompt_embeds, pooled, ref_tokens = cond
+            if true_cfg_scale is None:
+                prompt_embeds, pooled, ref_tokens = cond
+                tokens = jnp.concatenate([x, ref_tokens], axis=1)
+                guidance = jnp.full((x.shape[0],), guidance_scale, jnp.float32)
+                v = self.transformer.apply(
+                    params, tokens, prompt_embeds, pooled, t, guidance,
+                    img_ids, txt_ids,
+                )
+                return v[:, :seq_len_target]
+
+            pe, pooled, neg_pe, neg_pooled, ref_tokens = cond
             tokens = jnp.concatenate([x, ref_tokens], axis=1)
-            guidance = jnp.full((x.shape[0],), guidance_scale, jnp.float32)
+            tokens2 = jnp.concatenate([tokens, tokens], axis=0)
+            pe2 = jnp.concatenate([pe, neg_pe], axis=0)
+            pooled2 = jnp.concatenate([pooled, neg_pooled], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            guidance = jnp.full((tokens2.shape[0],), guidance_scale, jnp.float32)
             v = self.transformer.apply(
-                params, tokens, prompt_embeds, pooled, t, guidance, img_ids, txt_ids
-            )
-            return v[:, : seq_len_target]
+                params, tokens2, pe2, pooled2, t2, guidance, img_ids, txt_ids
+            )[:, :seq_len_target]
+            v_pos, v_neg = jnp.split(v, 2, axis=0)
+            return v_neg + true_cfg_scale * (v_pos - v_neg)
 
         return velocity
 
@@ -106,12 +130,14 @@ class FluxKontextPipeline:
         guidance_scale: float,
         solver: str = "fmppo",
         record: bool = True,
+        true_cfg_scale: Optional[float] = None,
     ):
         """Build/caches the jitted denoise fn for a (latent resolution,
         steps, solver) combination.  mu follows the target-image sequence
         length (edit_ppo/denoise_diffusion.py:75-84)."""
         seq_len = (lh // 2) * (lw // 2)
-        key = (lh, lw, seq_txt, num_inference_steps, guidance_scale, solver, record)
+        key = (lh, lw, seq_txt, num_inference_steps, guidance_scale, solver,
+               record, true_cfg_scale)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
 
@@ -130,7 +156,9 @@ class FluxKontextPipeline:
             axis=0,
         )
         txt_ids = jnp.zeros((seq_txt, 3))
-        velocity = self._velocity_fn(seq_len, img_ids, txt_ids, guidance_scale)
+        velocity = self._velocity_fn(
+            seq_len, img_ids, txt_ids, guidance_scale, true_cfg_scale
+        )
         if solver == "fmppo":
             fn = fm.make_fm_denoise_fn(
                 velocity, self.fm_config, self.factor_net, num_inference_steps,
@@ -156,20 +184,36 @@ class FluxKontextPipeline:
         guidance_scale: float = 2.5,
         solver: str = "fmppo",
         decode: bool = True,
+        neg_t5_ids: Optional[jax.Array] = None,
+        neg_clip_ids: Optional[jax.Array] = None,
+        true_cfg_scale: float = 1.0,
     ):
         """ref_image [B,H,W,3] in [-1,1]; noise [B,h,w,16] latent noise.
-        Returns (edited image or final latents, trajectory)."""
+        Returns (edited image or final latents, trajectory).
+
+        Passing ``neg_t5_ids``/``neg_clip_ids`` with ``true_cfg_scale > 1``
+        enables the negative-prompt true-CFG double forward
+        (edit_ppo/pipeline.py:1100-1115); at scale 1 (or with no negative
+        prompt) the distilled guidance-embeds path runs unchanged."""
         b, lh, lw, _ = noise.shape
         prompt_embeds, pooled = self.encode_prompt(t5_ids, clip_ids)
         ref_latents = self.encode_image(ref_image)
         ref_tokens = flux_lib.pack_latents(ref_latents)
         packed_noise = flux_lib.pack_latents(noise)
 
+        do_true_cfg = neg_t5_ids is not None and true_cfg_scale > 1.0
         denoise = self.denoise_fn(
             lh, lw, int(t5_ids.shape[1]), num_inference_steps,
             guidance_scale, solver,
+            true_cfg_scale=true_cfg_scale if do_true_cfg else None,
         )
-        cond = (prompt_embeds, pooled, ref_tokens)
+        if do_true_cfg:
+            neg_embeds, neg_pooled = self.encode_prompt(
+                neg_t5_ids, neg_clip_ids if neg_clip_ids is not None else neg_t5_ids
+            )
+            cond = (prompt_embeds, pooled, neg_embeds, neg_pooled, ref_tokens)
+        else:
+            cond = (prompt_embeds, pooled, ref_tokens)
         packed_out, traj = denoise(
             self.transformer_params, self.factor_params, key, packed_noise, cond
         )

@@ -79,6 +79,55 @@ def test_baseline_euler_edit(pipe):
     assert bool(jnp.isfinite(latents).all())
 
 
+def test_true_cfg_double_forward(pipe):
+    """Negative-prompt true CFG (edit_ppo/pipeline.py:1100-1115): with
+    scale > 1 and a differing negative prompt the output must change; at
+    scale 1 (or with no negative prompt) the embeds-only path runs."""
+    t5_ids = jnp.ones((1, 4), jnp.int32)
+    clip_ids = jnp.ones((1, 4), jnp.int32)
+    neg_t5 = 2 * jnp.ones((1, 4), jnp.int32)
+    neg_clip = 2 * jnp.ones((1, 4), jnp.int32)
+    ref_image = jnp.zeros((1, 16, 16, 3))
+    noise = jax.random.normal(jax.random.key(8), (1, 8, 8, 4))
+    kw = dict(num_inference_steps=2, solver="euler", decode=False)
+
+    plain, _ = pipe(jax.random.key(9), t5_ids, clip_ids, ref_image, noise, **kw)
+    cfg, _ = pipe(jax.random.key(9), t5_ids, clip_ids, ref_image, noise,
+                  neg_t5_ids=neg_t5, neg_clip_ids=neg_clip,
+                  true_cfg_scale=4.0, **kw)
+    assert not np.allclose(np.asarray(plain), np.asarray(cfg))
+    assert bool(jnp.isfinite(cfg).all())
+
+    # scale 1 reduces to the embeds-only path exactly
+    at_one, _ = pipe(jax.random.key(9), t5_ids, clip_ids, ref_image, noise,
+                     neg_t5_ids=neg_t5, neg_clip_ids=neg_clip,
+                     true_cfg_scale=1.0, **kw)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(at_one))
+
+    # with an IDENTICAL negative prompt the double forward is a no-op:
+    # v_neg == v_pos, so any scale gives the plain output
+    same_neg, _ = pipe(jax.random.key(9), t5_ids, clip_ids, ref_image, noise,
+                       neg_t5_ids=t5_ids, neg_clip_ids=clip_ids,
+                       true_cfg_scale=4.0, **kw)
+    np.testing.assert_allclose(
+        np.asarray(plain), np.asarray(same_neg), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_true_cfg_with_fmppo_solver(pipe):
+    """True CFG composes with the learnable solver + trajectory recording."""
+    t5_ids = jnp.ones((1, 4), jnp.int32)
+    clip_ids = jnp.ones((1, 4), jnp.int32)
+    noise = jax.random.normal(jax.random.key(10), (1, 8, 8, 4))
+    out, traj = pipe(jax.random.key(11), t5_ids, clip_ids,
+                     jnp.zeros((1, 16, 16, 3)), noise,
+                     num_inference_steps=3, decode=False,
+                     neg_t5_ids=2 * t5_ids, neg_clip_ids=2 * clip_ids,
+                     true_cfg_scale=2.0)
+    assert traj is not None and traj.actions.shape == (1, 2, 1)
+    assert bool(jnp.isfinite(out).all())
+
+
 def test_reference_image_conditions_output(pipe):
     t5_ids = jnp.ones((1, 4), jnp.int32)
     clip_ids = jnp.ones((1, 4), jnp.int32)
