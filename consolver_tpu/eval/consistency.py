@@ -44,6 +44,27 @@ def _load_image(path: str, size: Optional[Tuple[int, int]] = None) -> np.ndarray
     return np.asarray(img, np.float32) / 255.0
 
 
+def _score_batch(reward_fn, gen: np.ndarray, ref: np.ndarray, mesh) -> np.ndarray:
+    """Run the batched reward, optionally sharding the batch over the mesh's
+    data axis (multi-chip eval: batch-parallelism replaces the reference's
+    one-worker-per-GPU process pool, compute_reward.py:98-181)."""
+    if mesh is None:
+        return np.asarray(reward_fn(gen, ref)).reshape(-1)
+    from consolver_tpu.dist import mesh as meshlib
+
+    n = gen.shape[0]
+    n_data = int(np.prod([
+        s for s, name in zip(mesh.devices.shape, mesh.axis_names)
+        if name == meshlib.DATA_AXIS
+    ]))
+    pad = (-n) % n_data
+    if pad:
+        gen = np.concatenate([gen, np.repeat(gen[-1:], pad, axis=0)])
+        ref = np.concatenate([ref, np.repeat(ref[-1:], pad, axis=0)])
+    gen_s, ref_s = meshlib.shard_batch(mesh, (gen, ref))
+    return np.asarray(reward_fn(gen_s, ref_s)).reshape(-1)[:n]
+
+
 def evaluate_consistency(
     reward_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
     dir_generated: str,
@@ -51,31 +72,58 @@ def evaluate_consistency(
     batch_size: int = 32,
     size: Optional[Tuple[int, int]] = None,
     output_json: Optional[str] = None,
+    mesh=None,
 ) -> Dict[str, float]:
     """Compute reward stats over all paired images; returns/saves the same
     aggregate shape as the reference (compute_reward.py:332-365,447-463):
-    mean/std/min/max/median + counts."""
+    mean/std/min/max/median + counts, plus per-item ``errors`` records
+    [{path, reason}] (the reference pushes per-item error entries through
+    the result queue, compute_reward.py:171-181).  Pass ``mesh`` to shard
+    each reward batch over the data axis for multi-chip eval."""
     pairs = pair_images(dir_generated, dir_reference)
     if not pairs:
         raise FileNotFoundError(
             f"No paired images between {dir_generated} and {dir_reference}"
         )
     scores: List[float] = []
-    errors = 0
+    error_records: List[Dict[str, str]] = []
+
+    def record_error(path: str, exc: Exception):
+        error_records.append(
+            {"path": os.path.relpath(path, dir_generated), "reason": repr(exc)}
+        )
+
     for start in range(0, len(pairs), batch_size):
         chunk = pairs[start : start + batch_size]
+        loaded = []  # (gen_path, gen_img, ref_img)
+        for a, b in chunk:
+            try:
+                loaded.append((a, _load_image(a, size), _load_image(b, size)))
+            except Exception as e:
+                record_error(a, e)
+        if not loaded:
+            continue
         try:
-            gen = np.stack([_load_image(a, size) for a, _ in chunk])
-            ref = np.stack([_load_image(b, size) for _, b in chunk])
-            rewards = np.asarray(reward_fn(gen, ref)).reshape(-1)
-            scores.extend(float(r) for r in rewards)
+            gen = np.stack([g for _, g, _ in loaded])
+            ref = np.stack([r for _, _, r in loaded])
+            rewards = _score_batch(reward_fn, gen, ref, mesh)
+            scores.extend(float(r) for r in rewards[: len(loaded)])
         except Exception:
-            errors += len(chunk)
+            # mixed shapes or a model failure: fall back to per-item scoring
+            # so one bad pair doesn't discard the chunk
+            for a, g, r in loaded:
+                try:
+                    scores.append(
+                        float(_score_batch(reward_fn, g[None], r[None], mesh)[0])
+                    )
+                except Exception as e:
+                    record_error(a, e)
     arr = np.asarray(scores)
     stats = {
         "num_pairs": len(pairs),
         "num_scored": len(scores),
-        "num_errors": errors,
+        "num_errors": len(error_records),
+        "errors": error_records,
         "mean": float(arr.mean()) if len(arr) else float("nan"),
         "std": float(arr.std()) if len(arr) else float("nan"),
         "min": float(arr.min()) if len(arr) else float("nan"),

@@ -30,6 +30,10 @@ def main():
     c.add_argument("--encoder-ckpt", default=None)
     c.add_argument("--out", default=None)
     c.add_argument("--batch-size", type=int, default=32)
+    c.add_argument(
+        "--shard", action="store_true",
+        help="shard reward batches over a data mesh of all visible devices",
+    )
 
     f = sub.add_parser("fid")
     f.add_argument("--generated", required=True)
@@ -57,9 +61,14 @@ def main():
                 raise SystemExit(f"--encoder-ckpt required for reward {args.reward}")
             model = RewardModel(encode=build_encoder())
         reward_fn = make_reward_fn(args.reward, model)
+        mesh = None
+        if args.shard:
+            from consolver_tpu.dist import mesh as meshlib
+
+            mesh = meshlib.make_mesh()
         stats = evaluate_consistency(
             reward_fn, args.generated, args.reference,
-            batch_size=args.batch_size, output_json=args.out,
+            batch_size=args.batch_size, output_json=args.out, mesh=mesh,
         )
         print(stats)
         return

@@ -100,6 +100,59 @@ class TestEvalHarness:
         saved = json.loads((tmp_path / "stats.json").read_text())
         assert saved["num_pairs"] == 5
 
+    def test_error_records_name_the_bad_items(self, tmp_path):
+        """Per-item error entries, matching the reference's queue records
+        (compute_reward.py:171-181): a corrupt file and a size-mismatched
+        pair are each named with a reason; good pairs still score."""
+        a_dir, b_dir = tmp_path / "gen", tmp_path / "ref"
+        a_dir.mkdir(); b_dir.mkdir()
+        rng = np.random.default_rng(4)
+        for i in range(3):
+            img = rng.random((8, 8, 3)).astype(np.float32)
+            save_png(str(a_dir / f"{i}.png"), img)
+            save_png(str(b_dir / f"{i}.png"), img)
+        # corrupt generated file
+        (a_dir / "bad.png").write_bytes(b"not a png")
+        save_png(str(b_dir / "bad.png"), rng.random((8, 8, 3)))
+        # shape mismatch inside one chunk (no resize requested)
+        save_png(str(a_dir / "odd.png"), rng.random((4, 4, 3)))
+        save_png(str(b_dir / "odd.png"), rng.random((8, 8, 3)))
+
+        stats = evaluate_consistency(
+            image_psnr_reward, str(a_dir), str(b_dir), batch_size=8
+        )
+        assert stats["num_scored"] == 3
+        assert stats["num_errors"] == 2
+        bad_paths = {e["path"] for e in stats["errors"]}
+        assert bad_paths == {"bad.png", "odd.png"}
+        for e in stats["errors"]:
+            assert e["reason"]
+
+    def test_mesh_sharded_eval_matches_unsharded(self, tmp_path):
+        """mesh= shards the reward batch over the data axis; stats must
+        match the single-device result (incl. a final chunk that needs
+        padding to the device count)."""
+        from consolver_tpu.dist import mesh as meshlib
+
+        a_dir, b_dir = tmp_path / "gen", tmp_path / "ref"
+        a_dir.mkdir(); b_dir.mkdir()
+        rng = np.random.default_rng(5)
+        for i in range(11):  # not divisible by 8
+            img = rng.random((8, 8, 3)).astype(np.float32)
+            save_png(str(a_dir / f"{i}.png"), img)
+            save_png(str(b_dir / f"{i}.png"), rng.random((8, 8, 3)))
+
+        ref = evaluate_consistency(
+            image_psnr_reward, str(a_dir), str(b_dir), batch_size=16
+        )
+        sharded = evaluate_consistency(
+            image_psnr_reward, str(a_dir), str(b_dir), batch_size=16,
+            mesh=meshlib.make_mesh(),
+        )
+        assert sharded["num_scored"] == ref["num_scored"] == 11
+        np.testing.assert_allclose(sharded["mean"], ref["mean"], rtol=1e-5)
+        np.testing.assert_allclose(sharded["median"], ref["median"], rtol=1e-5)
+
     def test_generate_sweep(self, tmp_path):
         def gen(key, prompts):
             v = jax.random.uniform(key, (len(prompts), 4, 4, 3))
