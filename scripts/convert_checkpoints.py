@@ -79,12 +79,33 @@ def convert(kind: str, state: dict):
     raise ValueError(f"unknown kind {kind}")
 
 
+def model_config(kind: str, preset: str):
+    """The in-repo config dataclass matching a converted checkpoint, so the
+    pipeline builders can reconstruct the module without hard-coding sizes."""
+    if kind == "unet":
+        from consolver_tpu.models.unet_2d import UNetConfig as C
+    elif kind == "vae":
+        from consolver_tpu.models.vae import VaeConfig as C
+    elif kind == "clip_text":
+        from consolver_tpu.models.clip_text import ClipTextConfig as C
+    else:
+        return None
+    factory = getattr(C, preset, None)
+    if factory is None:
+        raise SystemExit(f"no preset {preset!r} on {C.__name__}")
+    return factory()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kind", required=True)
     ap.add_argument("--src", required=True)
     ap.add_argument("--dst", required=True)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument(
+        "--config", default="sd15",
+        help="config preset recorded as {dst}_config.json (unet/vae/clip_text)",
+    )
     args = ap.parse_args()
 
     state = load_state_dict(args.src)
@@ -99,6 +120,17 @@ def main():
 
     ckpt = ocp.PyTreeCheckpointer()
     ckpt.save(os.path.abspath(args.dst), params, force=True)
+
+    cfg = model_config(args.kind, args.config)
+    if cfg is not None:
+        import dataclasses
+        import json
+
+        # sibling file (never inside the orbax dir): pipeline builders read
+        # it to reconstruct the module at the checkpoint's actual size
+        with open(args.dst.rstrip("/") + "_config.json", "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2)
+
     n = sum(int(np.prod(np.shape(x))) for x in __import__("jax").tree.leaves(params))
     print(f"converted {args.kind}: {len(state)} tensors -> {n/1e6:.1f}M params at {args.dst}")
 

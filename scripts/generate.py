@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-prompts", type=int, default=None)
+    ap.add_argument("--latent-size", type=int, default=None,
+                    help="latent H=W (default: 64 with --pretrained, 8 smoke)")
     args = ap.parse_args()
 
     from consolver_tpu.configs.config import ExperimentConfig, apply_overrides
@@ -69,7 +71,7 @@ def main():
     tokenizer = load_tokenizer(
         os.path.join(args.pretrained, "tokenizer") if args.pretrained else None
     )
-    latent = 64 if args.pretrained else 8
+    latent = args.latent_size or (64 if args.pretrained else 8)
 
     if args.eta > 0:
         # stochastic DDIM goes through the zoo solver directly (the eta

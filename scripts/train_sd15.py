@@ -32,6 +32,20 @@ def load_orbax(path):
     return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
 
 
+def load_model_config(path, cls, default):
+    """Read the {ckpt}_config.json written by scripts/convert_checkpoints.py
+    (tuples round-trip json as lists, so coerce them back)."""
+    import json
+
+    cfg_path = path.rstrip("/") + "_config.json"
+    if not os.path.exists(cfg_path):
+        return default
+    with open(cfg_path) as f:
+        raw = json.load(f)
+    fixed = {k: tuple(v) if isinstance(v, list) else v for k, v in raw.items()}
+    return cls(**fixed)
+
+
 def build_pipeline(cfg, factor_net, factor_params):
     from consolver_tpu.core import schedules
     from consolver_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
@@ -42,12 +56,15 @@ def build_pipeline(cfg, factor_net, factor_params):
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
     pretrained = cfg.model.pretrained_path
     if pretrained:
-        ucfg, vcfg, tcfg = UNetConfig.sd15(), VaeConfig.sd15(), ClipTextConfig.sd15()
+        up, vp, tp = (os.path.join(pretrained, d) for d in ("unet", "vae", "clip_text"))
+        ucfg = load_model_config(up, UNetConfig, UNetConfig.sd15())
+        vcfg = load_model_config(vp, VaeConfig, VaeConfig.sd15())
+        tcfg = load_model_config(tp, ClipTextConfig, ClipTextConfig.sd15())
         unet, vae = UNet2DCondition(ucfg, dtype=dtype), AutoencoderKL(vcfg, dtype=dtype)
         te = ClipTextEncoder(tcfg, dtype=dtype)
-        unet_params = load_orbax(os.path.join(pretrained, "unet"))
-        vae_params = load_orbax(os.path.join(pretrained, "vae"))
-        te_params = load_orbax(os.path.join(pretrained, "clip_text"))
+        unet_params = load_orbax(up)
+        vae_params = load_orbax(vp)
+        te_params = load_orbax(tp)
     else:
         print("[smoke mode] no pretrained_path: tiny random models")
         ucfg, vcfg, tcfg = UNetConfig.tiny(), VaeConfig.tiny(), ClipTextConfig.tiny()
