@@ -1,0 +1,202 @@
+"""Int8 (W8A8) quantized compute path for the preview/serving UNet.
+
+TPU-native performance feature beyond reference parity (the reference
+serves fp16 CUDA; SURVEY.md §6's north star is throughput at equal
+quality).  The MXU runs int8 x int8 -> int32 at twice the bf16 rate;
+measured on this chip via scripts/probe_int8.py: 339 TOP/s int8 conv vs
+185 TFLOP/s bf16 (1.83x, including the dynamic requantization math).
+
+Scheme — the standard symmetric dynamic-activation recipe:
+  * weights: static per-output-channel int8, scale = max|w| / 127
+    (quantized once at load time by :func:`quantize_params_like`);
+  * activations: dynamic symmetric int8 — per-token (rows) for matmuls,
+    per-tensor for convs — quantized on the fly; XLA fuses the
+    round/clip/scale into neighbouring ops;
+  * accumulation in int32 (``preferred_element_type``), dequantized by
+    ``act_scale * weight_scale`` into the module's compute dtype.
+
+Everything here is plain XLA — no Pallas needed: the contractions lower
+to int8 MXU ops and the elementwise quant/dequant fuses.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def quantize_weight(w: jax.Array, out_axis: int = -1) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel int8: returns (w_int8, scale[out])."""
+    w = jnp.asarray(w, jnp.float32)
+    out_axis = out_axis % w.ndim
+    reduce_axes = tuple(a for a in range(w.ndim) if a != out_axis)
+    amax = jnp.max(jnp.abs(w), axis=reduce_axes)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    shape = [1] * w.ndim
+    shape[out_axis] = -1
+    wq = jnp.clip(jnp.round(w / scale.reshape(shape)), -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def _quantize_act(x: jax.Array, per_token: bool) -> Tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric activation quant; scale broadcasts against the
+    int32 accumulator output."""
+    x32 = x.astype(jnp.float32)
+    if per_token:
+        amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    else:
+        amax = jnp.max(jnp.abs(x32))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def int8_dense(
+    x: jax.Array,
+    kernel_q: jax.Array,
+    kernel_scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """y = dequant(quant(x) @ kernel_q) + bias, per-token activation scales."""
+    xq, a_scale = _quantize_act(x, per_token=True)
+    y = jax.lax.dot_general(
+        xq, kernel_q,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (a_scale * kernel_scale)
+    if bias is not None:
+        y = y + bias
+    return y.astype(dtype)
+
+
+def int8_conv(
+    x: jax.Array,
+    kernel_q: jax.Array,
+    kernel_scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    strides: Tuple[int, int] = (1, 1),
+    padding: Any = "SAME",
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """NHWC int8 conv with per-tensor activation scale.
+
+    kernel_q [kh, kw, in, out] int8, kernel_scale [out] f32."""
+    xq, a_scale = _quantize_act(x, per_token=False)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    y = jax.lax.conv_general_dilated(
+        xq, kernel_q, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (a_scale * kernel_scale)
+    if bias is not None:
+        y = y + bias
+    return y.astype(dtype)
+
+
+class Int8Dense(nn.Module):
+    """Drop-in for ``nn.Dense`` with int8 params (kernel/kernel_scale/bias).
+    Param layout mirrors nn.Dense so :func:`quantize_params_like` converts
+    a float checkpoint mechanically."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.zeros_init(),
+            (x.shape[-1], self.features), jnp.int8,
+        )
+        scale = self.param(
+            "kernel_scale", nn.initializers.ones_init(), (self.features,),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return int8_dense(x, kernel, scale, bias, dtype=self.dtype)
+
+
+class Int8Conv(nn.Module):
+    """Drop-in for ``nn.Conv`` (NHWC) with int8 params."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.zeros_init(),
+            (kh, kw, x.shape[-1], self.features), jnp.int8,
+        )
+        scale = self.param(
+            "kernel_scale", nn.initializers.ones_init(), (self.features,),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return int8_conv(
+            x, kernel, scale, bias, strides=self.strides, padding=self.padding,
+            dtype=self.dtype,
+        )
+
+
+def quantize_params_like(quant_shapes: Any, params: Any) -> Any:
+    """Convert a float param tree into the quantized model's tree.
+
+    ``quant_shapes``: jax.eval_shape of the QUANTIZED model's init — its
+    structure says exactly which kernels are int8 and where kernel_scale
+    leaves live.  Float kernels whose quantized counterpart is int8 are
+    per-channel quantized; everything else is copied (cast to the expected
+    dtype).  Works for any model wired with Int8Dense/Int8Conv."""
+
+    def walk(shape_node, param_node):
+        if not isinstance(shape_node, dict):
+            raise TypeError(f"unexpected leaf pairing: {shape_node}")
+        out = {}
+        for key, sub in shape_node.items():
+            if isinstance(sub, dict):
+                if "kernel" in sub and "kernel_scale" in sub and not isinstance(
+                    sub["kernel"], dict
+                ):
+                    src = jnp.asarray(param_node[key]["kernel"])
+                    wq, scale = quantize_weight(src, out_axis=-1)
+                    node = {"kernel": wq, "kernel_scale": scale}
+                    if "bias" in sub:
+                        node["bias"] = jnp.asarray(
+                            param_node[key]["bias"], sub["bias"].dtype
+                        )
+                    out[key] = node
+                else:
+                    out[key] = walk(sub, param_node[key])
+            else:
+                out[key] = jnp.asarray(param_node[key], sub.dtype)
+        return out
+
+    return walk(quant_shapes, params)
+
+
+def tree_bytes(params: Any) -> int:
+    return sum(
+        int(np.prod(np.shape(x))) * jnp.asarray(x).dtype.itemsize
+        for x in jax.tree.leaves(params)
+    )

@@ -23,6 +23,25 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from consolver_tpu.kernels.attention import attention as attention_op
+from consolver_tpu.kernels.quant import Int8Conv, Int8Dense
+
+
+def make_dense(quant: bool, features: int, *, use_bias: bool = True,
+               dtype=jnp.float32, name: str):
+    """nn.Dense, or its W8A8 int8 twin when the quant policy is on
+    (kernels/quant.py; int8 MXU = 2x bf16 peak)."""
+    if quant:
+        return Int8Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
+def make_conv(quant: bool, features: int, kernel_size=(3, 3), *,
+              strides=(1, 1), padding="SAME", dtype=jnp.float32, name: str):
+    if quant:
+        return Int8Conv(features, kernel_size, strides=strides, padding=padding,
+                        dtype=dtype, name=name)
+    return nn.Conv(features, kernel_size, strides=strides, padding=padding,
+                   dtype=dtype, name=name)
 
 
 def timestep_embedding(
@@ -63,24 +82,29 @@ class ResnetBlock2D(nn.Module):
     out_channels: int
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, temb=None):
         in_channels = x.shape[-1]
         h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = make_conv(self.quant, self.out_channels, (3, 3), padding=1,
+                      dtype=self.dtype, name="conv1")(h)
         if temb is not None:
+            # time projection stays float: tiny FLOPs, global conditioning
             temb = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + temb[:, None, None, :]
         h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = make_conv(self.quant, self.out_channels, (3, 3), padding=1,
+                      dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
-            x = nn.Conv(
-                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            x = make_conv(
+                self.quant, self.out_channels, (1, 1), dtype=self.dtype,
+                name="conv_shortcut",
             )(x)
         return x + h
 
@@ -98,14 +122,15 @@ class Attention(nn.Module):
     cross_dim: Optional[int] = None
     out_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
         inner = self.num_heads * self.head_dim
         context = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = make_dense(self.quant, inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = make_dense(self.quant, inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = make_dense(self.quant, inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
         b, sq = q.shape[:2]
         sk = k.shape[1]
         q = q.reshape(b, sq, self.num_heads, self.head_dim)
@@ -113,18 +138,20 @@ class Attention(nn.Module):
         v = v.reshape(b, sk, self.num_heads, self.head_dim)
         out = attention_op(q, k, v)
         out = out.reshape(b, sq, inner)
-        return nn.Dense(
-            inner, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0"
+        return make_dense(
+            self.quant, inner, use_bias=self.out_bias, dtype=self.dtype,
+            name="to_out_0",
         )(out)
 
 
 class GEGLU(nn.Module):
     dim_out: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h = make_dense(self.quant, self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         return h * nn.gelu(gate)
 
@@ -133,11 +160,13 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net_0")(x)
-        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        x = GEGLU(self.dim * self.mult, dtype=self.dtype, quant=self.quant,
+                  name="net_0")(x)
+        return make_dense(self.quant, self.dim, dtype=self.dtype, name="net_2")(x)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -147,12 +176,14 @@ class BasicTransformerBlock(nn.Module):
     head_dim: int
     cross_dim: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context):
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + Attention(
-            self.num_heads, self.head_dim, dtype=self.dtype, name="attn1"
+            self.num_heads, self.head_dim, dtype=self.dtype, quant=self.quant,
+            name="attn1",
         )(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         x = x + Attention(
@@ -160,10 +191,12 @@ class BasicTransformerBlock(nn.Module):
             self.head_dim,
             cross_dim=self.cross_dim,
             dtype=self.dtype,
+            quant=self.quant,
             name="attn2",
         )(h, context)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
-        return x + FeedForward(x.shape[-1], dtype=self.dtype, name="ff")(h)
+        return x + FeedForward(x.shape[-1], dtype=self.dtype, quant=self.quant,
+                               name="ff")(h)
 
 
 class Transformer2D(nn.Module):
@@ -178,13 +211,16 @@ class Transformer2D(nn.Module):
     depth: int = 1
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context):
         b, h, w, c = x.shape
         residual = x
         x = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
-        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x.astype(self.dtype))
+        x = make_conv(self.quant, c, (1, 1), dtype=self.dtype, name="proj_in")(
+            x.astype(self.dtype)
+        )
         x = x.reshape(b, h * w, c)
         for i in range(self.depth):
             x = BasicTransformerBlock(
@@ -192,10 +228,11 @@ class Transformer2D(nn.Module):
                 self.head_dim,
                 self.cross_dim,
                 dtype=self.dtype,
+                quant=self.quant,
                 name=f"transformer_blocks_{i}",
             )(x, context)
         x = x.reshape(b, h, w, c)
-        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        x = make_conv(self.quant, c, (1, 1), dtype=self.dtype, name="proj_out")(x)
         return x + residual
 
 
@@ -204,13 +241,14 @@ class Downsample2D(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return nn.Conv(
-            self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
-            dtype=self.dtype, name="conv",
+        return make_conv(
+            self.quant, self.out_channels, (3, 3), strides=(2, 2),
+            padding="VALID", dtype=self.dtype, name="conv",
         )(x)
 
 
@@ -219,12 +257,14 @@ class Upsample2D(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return make_conv(self.quant, self.out_channels, (3, 3), padding=1,
+                         dtype=self.dtype, name="conv")(x)
 
 
 class VaeAttention(nn.Module):

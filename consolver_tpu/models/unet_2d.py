@@ -45,6 +45,10 @@ class UNetConfig:
     transformer_depth: int = 1
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
+    # W8A8 int8 compute for the conv/attention/FF projections
+    # (kernels/quant.py; serving-only — quantize a float checkpoint with
+    # quantize_params_like).  conv_in/out and time embedding stay float.
+    quant_int8: bool = False
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -77,18 +81,19 @@ class CrossAttnDownBlock(nn.Module):
         for i in range(cfg.layers_per_block):
             x = ResnetBlock2D(
                 self.out_channels, cfg.norm_num_groups, dtype=self.dtype,
-                name=f"resnets_{i}",
+                quant=cfg.quant_int8, name=f"resnets_{i}",
             )(x, temb)
             if self.has_attn:
                 heads = cfg.attention_head_dim
                 x = Transformer2D(
                     heads, self.out_channels // heads, cfg.cross_attention_dim,
                     depth=cfg.transformer_depth, groups=cfg.norm_num_groups,
-                    dtype=self.dtype, name=f"attentions_{i}",
+                    dtype=self.dtype, quant=cfg.quant_int8, name=f"attentions_{i}",
                 )(x, context)
             skips.append(x)
         if self.add_downsample:
-            x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            x = Downsample2D(self.out_channels, dtype=self.dtype,
+                             quant=cfg.quant_int8, name="downsamplers_0")(x)
             skips.append(x)
         return x, skips
 
@@ -107,17 +112,18 @@ class CrossAttnUpBlock(nn.Module):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, cfg.norm_num_groups, dtype=self.dtype,
-                name=f"resnets_{i}",
+                quant=cfg.quant_int8, name=f"resnets_{i}",
             )(x, temb)
             if self.has_attn:
                 heads = cfg.attention_head_dim
                 x = Transformer2D(
                     heads, self.out_channels // heads, cfg.cross_attention_dim,
                     depth=cfg.transformer_depth, groups=cfg.norm_num_groups,
-                    dtype=self.dtype, name=f"attentions_{i}",
+                    dtype=self.dtype, quant=cfg.quant_int8, name=f"attentions_{i}",
                 )(x, context)
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+            x = Upsample2D(self.out_channels, dtype=self.dtype,
+                           quant=cfg.quant_int8, name="upsamplers_0")(x)
         return x
 
 
@@ -129,14 +135,16 @@ class MidBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb, context):
         cfg = self.cfg
-        x = ResnetBlock2D(self.channels, cfg.norm_num_groups, dtype=self.dtype, name="resnets_0")(x, temb)
+        x = ResnetBlock2D(self.channels, cfg.norm_num_groups, dtype=self.dtype,
+                          quant=cfg.quant_int8, name="resnets_0")(x, temb)
         heads = cfg.attention_head_dim
         x = Transformer2D(
             heads, self.channels // heads, cfg.cross_attention_dim,
             depth=cfg.transformer_depth, groups=cfg.norm_num_groups,
-            dtype=self.dtype, name="attentions_0",
+            dtype=self.dtype, quant=cfg.quant_int8, name="attentions_0",
         )(x, context)
-        x = ResnetBlock2D(self.channels, cfg.norm_num_groups, dtype=self.dtype, name="resnets_1")(x, temb)
+        x = ResnetBlock2D(self.channels, cfg.norm_num_groups, dtype=self.dtype,
+                          quant=cfg.quant_int8, name="resnets_1")(x, temb)
         return x
 
 

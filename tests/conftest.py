@@ -22,3 +22,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the e2e tests are compile-bound (tiny-stack
+# XLA compiles dominate the suite), so repeat runs load cached executables
+# (~4.5x faster second run).  Keyed by HLO hash — code changes simply miss
+# and recompile.  Opt out with CONSOLVER_JAX_CACHE=0.
+if os.environ.get("CONSOLVER_JAX_CACHE", "1") != "0":
+    _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_compilation_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,127 @@
+"""W8A8 int8 path (kernels/quant.py): numerics vs the float modules, param
+conversion, and the quantized UNet end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from consolver_tpu.kernels.quant import (
+    Int8Conv,
+    Int8Dense,
+    int8_conv,
+    int8_dense,
+    quantize_params_like,
+    quantize_weight,
+)
+from consolver_tpu.models.unet_2d import UNetConfig, UNet2DCondition
+
+
+def test_quantize_weight_roundtrip():
+    w = np.random.default_rng(0).standard_normal((64, 32)).astype(np.float32)
+    wq, scale = quantize_weight(jnp.asarray(w))
+    assert wq.dtype == jnp.int8 and scale.shape == (32,)
+    deq = np.asarray(wq, np.float32) * np.asarray(scale)[None, :]
+    # symmetric per-channel: max error is half a quantization step per channel
+    step = np.asarray(scale)
+    assert (np.abs(deq - w) <= 0.5 * step[None, :] + 1e-7).all()
+
+
+def test_int8_dense_close_to_float():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((32,)).astype(np.float32) * 0.1)
+    ref = x @ w + b
+    wq, scale = quantize_weight(w)
+    out = int8_dense(x, wq, scale, b)
+    err = np.abs(np.asarray(out - ref))
+    assert err.max() < 0.05 * float(jnp.abs(ref).max()), err.max()
+
+
+def test_int8_conv_close_to_float():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 24)).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    wq, scale = quantize_weight(w)
+    out = int8_conv(x, wq, scale, padding=1)
+    err = np.abs(np.asarray(out - ref))
+    assert err.max() < 0.05 * float(jnp.abs(ref).max()), err.max()
+
+
+def test_int8_modules_match_functional():
+    """Int8Dense/Int8Conv param layout converts mechanically from the float
+    modules via quantize_params_like."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    dense = nn.Dense(8)
+    params = dense.init(jax.random.key(0), x)
+    qdense = Int8Dense(8)
+    qshapes = jax.eval_shape(qdense.init, jax.random.key(0), x)
+    qparams = quantize_params_like(qshapes, params)
+    out_q = qdense.apply(qparams, x)
+    out_f = dense.apply(params, x)
+    assert np.abs(np.asarray(out_q - out_f)).max() < 0.05 * float(
+        jnp.abs(out_f).max() + 1e-6
+    )
+
+    xc = jnp.asarray(rng.standard_normal((2, 6, 6, 8)).astype(np.float32))
+    conv = nn.Conv(12, (3, 3), strides=(2, 2), padding="VALID")
+    cparams = conv.init(jax.random.key(1), xc)
+    qconv = Int8Conv(12, (3, 3), strides=(2, 2), padding="VALID")
+    qcshapes = jax.eval_shape(qconv.init, jax.random.key(1), xc)
+    qcparams = quantize_params_like(qcshapes, cparams)
+    out_qc = qconv.apply(qcparams, xc)
+    out_fc = conv.apply(cparams, xc)
+    assert out_qc.shape == out_fc.shape
+    assert np.abs(np.asarray(out_qc - out_fc)).max() < 0.05 * float(
+        jnp.abs(out_fc).max()
+    )
+
+
+def test_quantized_tiny_unet_close_to_float():
+    """Full UNet with quant_int8: converted params produce outputs close to
+    the float model — the serving-time quality gate in miniature."""
+    cfg = UNetConfig.tiny()
+    unet = UNet2DCondition(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    t = jnp.asarray([10, 500], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(1), (2, 4, cfg.cross_attention_dim))
+    params = unet.init(jax.random.key(2), x, t, ctx)
+    ref = unet.apply(params, x, t, ctx)
+
+    qcfg = UNetConfig.tiny()
+    qcfg = type(qcfg)(**{**qcfg.__dict__, "quant_int8": True})
+    qunet = UNet2DCondition(qcfg)
+    qshapes = jax.eval_shape(qunet.init, jax.random.key(2), x, t, ctx)
+    qparams = quantize_params_like(qshapes, params)
+    out = qunet.apply(qparams, x, t, ctx)
+
+    assert out.shape == ref.shape
+    rel = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-8))
+    assert rel < 0.10, rel
+    # int8 kernels really are int8 in the converted tree
+    kinds = [
+        leaf.dtype
+        for path, leaf in jax.tree_util.tree_flatten_with_path(qparams)[0]
+        if path[-1].key == "kernel"
+    ]
+    assert any(k == jnp.int8 for k in kinds)
+
+
+def test_unquantized_config_unchanged():
+    """quant_int8 defaults off: param tree has no kernel_scale leaves."""
+    cfg = UNetConfig.tiny()
+    unet = UNet2DCondition(cfg)
+    shapes = jax.eval_shape(
+        unet.init, jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 4, cfg.cross_attention_dim)),
+    )
+    paths = [
+        "/".join(p.key for p in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(shapes)[0]
+    ]
+    assert not any("kernel_scale" in p for p in paths)
