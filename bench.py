@@ -1,9 +1,9 @@
 """Headline benchmark: SD-1.5-class 8-step 512^2 preview throughput on one
 TPU chip (the BASELINE.json north-star configuration).
 
-Runs the full jitted denoise pipeline — CFG-batched bf16 UNet (859.5M
-params), learnable-LMM solver with FactorNet sampling, VAE decode — and
-prints ONE JSON line:
+Runs the full jitted denoise pipeline — CFG-batched UNet (859.5M params),
+learnable-LMM solver with FactorNet sampling, VAE decode — and prints ONE
+JSON line:
   {"metric": ..., "value": images/sec/chip, "unit": ..., "vs_baseline": ...}
 
 vs_baseline compares against an A100 reference estimate for the same
@@ -11,6 +11,12 @@ workload (the reference repo publishes no throughput numbers — BASELINE.md:
 "publishes no throughput/latency numbers"); we use 4.0 img/s/chip as the
 A100 figure for batched fp16+xformers SD-1.5 8-step 512^2, and the
 BASELINE.json target is >= 2x that.
+
+Round 2: the serving UNet also runs the W8A8 int8 path (kernels/quant.py —
+int8 MXU is ~1.8x bf16 on this chip, scripts/probe_int8.py) behind a
+quality gate: the int8 preview must stay within a PSNR bound of the bf16
+preview on identical noise, else the bf16 number is reported.  Batch is
+swept (8, 16) and the best passing configuration wins.
 """
 
 import json
@@ -19,52 +25,63 @@ import time
 import numpy as np
 
 A100_REF_IMGS_PER_SEC = 4.0
+QUALITY_GATE_PSNR_DB = 27.0
+NUM_STEPS = 8
+HEIGHT = WIDTH = 64  # latent 64x64 => image 512x512
 
 
-def main():
+def random_params_like(shapes, seed, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(shapes)
+    keys = jax.random.split(jax.random.key(seed), len(leaves))
+    return jax.tree.unflatten(
+        treedef,
+        [
+            jax.random.normal(k, s.shape, dtype) * 0.02
+            for k, s in zip(keys, leaves)
+        ],
+    )
+
+
+def build(quant: bool):
+    """Returns (preview_fn jitted, unet_params, vae_params, fparams)."""
     import jax
     import jax.numpy as jnp
 
     from consolver_tpu.core import schedules
+    from consolver_tpu.kernels.quant import quantize_params_like
     from consolver_tpu.models.unet_2d import UNetConfig, UNet2DCondition
     from consolver_tpu.models.vae import AutoencoderKL, VaeConfig, decode_latents
     from consolver_tpu.pipelines.t2i import make_denoise_fn
     from consolver_tpu.policy import FactorNet, FactorNetConfig
 
-    batch = 8
-    num_steps = 8
-    height = width = 64  # latent 64x64 => image 512x512
-
     ucfg = UNetConfig.sd15()
-    unet = UNet2DCondition(ucfg, dtype=jnp.bfloat16)
+    unet_f = UNet2DCondition(ucfg, dtype=jnp.bfloat16)
     shapes = jax.eval_shape(
-        unet.init, jax.random.key(0), jnp.zeros((1, height, width, 4)),
+        unet_f.init, jax.random.key(0), jnp.zeros((1, HEIGHT, WIDTH, 4)),
         jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768)),
     )
     # random-normal bf16 weights: throughput does not depend on weight values
-    leaves, treedef = jax.tree.flatten(shapes)
-    keys = jax.random.split(jax.random.key(1), len(leaves))
-    unet_params = jax.tree.unflatten(
-        treedef,
-        [
-            jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02
-            for k, s in zip(keys, leaves)
-        ],
-    )
+    unet_params = random_params_like(shapes, 1, jnp.bfloat16)
+
+    if quant:
+        qcfg = UNetConfig(**{**ucfg.__dict__, "quant_int8": True})
+        unet = UNet2DCondition(qcfg, dtype=jnp.bfloat16)
+        qshapes = jax.eval_shape(
+            unet.init, jax.random.key(0), jnp.zeros((1, HEIGHT, WIDTH, 4)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768)),
+        )
+        unet_params = quantize_params_like(qshapes, unet_params)
+    else:
+        unet = unet_f
 
     vae = AutoencoderKL(VaeConfig.sd15(), dtype=jnp.bfloat16)
     vae_shapes = jax.eval_shape(
         vae.init, jax.random.key(0), jnp.zeros((1, 512, 512, 3)), jax.random.key(1)
     )
-    vleaves, vtreedef = jax.tree.flatten(vae_shapes)
-    vkeys = jax.random.split(jax.random.key(2), len(vleaves))
-    vae_params = jax.tree.unflatten(
-        vtreedef,
-        [
-            jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02
-            for k, s in zip(vkeys, vleaves)
-        ],
-    )
+    vae_params = random_params_like(vae_shapes, 2, jnp.bfloat16)
 
     sched = schedules.DiffusionSchedule.sd15()
     fcfg = FactorNetConfig(order_dim=4, scaler_dim=0, num_actions=11, family="sd")
@@ -73,7 +90,7 @@ def main():
 
     denoise = make_denoise_fn(
         lambda p, x, t, c: unet.apply(p, x, t, c),
-        sched, fnet, num_steps, guidance_scale=3.0, record_trajectory=False,
+        sched, fnet, NUM_STEPS, guidance_scale=3.0, record_trajectory=False,
     )
 
     @jax.jit
@@ -81,7 +98,14 @@ def main():
         latents, _ = denoise(unet_params, fparams, key, noise, ctx, uncond)
         return decode_latents(vae, vae_params, latents)
 
-    noise = jax.random.normal(jax.random.key(4), (batch, height, width, 4))
+    return preview, unet_params, vae_params, fparams
+
+
+def time_preview(preview, unet_params, vae_params, fparams, batch, iters=5):
+    import jax
+    import jax.numpy as jnp
+
+    noise = jax.random.normal(jax.random.key(4), (batch, HEIGHT, WIDTH, 4))
     ctx = jax.random.normal(jax.random.key(5), (batch, 77, 768), jnp.bfloat16)
     uncond = jax.random.normal(jax.random.key(6), (batch, 77, 768), jnp.bfloat16)
 
@@ -90,7 +114,6 @@ def main():
     out = preview(unet_params, vae_params, fparams, jax.random.key(7), noise, ctx, uncond)
     float(out.mean())
 
-    iters = 5
     start = time.perf_counter()
     for i in range(iters):
         out = preview(
@@ -100,15 +123,71 @@ def main():
     # to the host guarantees the whole timed queue has drained
     float(out.mean())
     elapsed = time.perf_counter() - start
+    return batch * iters / elapsed
 
-    images_per_sec = batch * iters / elapsed
+
+def quality_psnr(preview_a, params_a, preview_b, params_b, vae_params, fparams):
+    """PSNR between the two paths' previews on identical noise/conditioning."""
+    import jax
+    import jax.numpy as jnp
+
+    noise = jax.random.normal(jax.random.key(40), (4, HEIGHT, WIDTH, 4))
+    ctx = jax.random.normal(jax.random.key(41), (4, 77, 768), jnp.bfloat16)
+    unc = jax.random.normal(jax.random.key(42), (4, 77, 768), jnp.bfloat16)
+    key = jax.random.key(43)
+    img_a = np.asarray(
+        preview_a(params_a, vae_params, fparams, key, noise, ctx, unc),
+        np.float32,
+    )
+    img_b = np.asarray(
+        preview_b(params_b, vae_params, fparams, key, noise, ctx, unc),
+        np.float32,
+    )
+    mse = float(np.mean((img_a - img_b) ** 2)) + 1e-12
+    return 10.0 * np.log10(1.0 / mse)
+
+
+def main():
+    results = {}
+
+    bf16_preview, bf16_up, vae_params, fparams = build(quant=False)
+    int8_preview, int8_up, _, _ = build(quant=True)
+
+    psnr = quality_psnr(
+        int8_preview, int8_up, bf16_preview, bf16_up, vae_params, fparams
+    )
+    int8_ok = psnr >= QUALITY_GATE_PSNR_DB
+
+    for name, preview, up in (
+        ("bf16", bf16_preview, bf16_up),
+        ("int8", int8_preview, int8_up),
+    ):
+        for batch in (8, 16):
+            try:
+                results[f"{name}_b{batch}"] = round(
+                    time_preview(preview, up, vae_params, fparams, batch), 4
+                )
+            except Exception as e:  # remote-compile 500s etc.: keep going
+                results[f"{name}_b{batch}"] = f"failed: {type(e).__name__}"
+
+    candidates = {
+        k: v for k, v in results.items()
+        if isinstance(v, float) and (k.startswith("bf16") or int8_ok)
+    }
+    best_key = max(candidates, key=candidates.get)
+    best = candidates[best_key]
+
     print(
         json.dumps(
             {
                 "metric": "sd15_8step_512_images_per_sec_per_chip",
-                "value": round(images_per_sec, 4),
+                "value": best,
                 "unit": "img/s/chip",
-                "vs_baseline": round(images_per_sec / A100_REF_IMGS_PER_SEC, 4),
+                "vs_baseline": round(best / A100_REF_IMGS_PER_SEC, 4),
+                "config": best_key,
+                "int8_quality_psnr_vs_bf16_db": round(psnr, 2),
+                "int8_gate_passed": bool(int8_ok),
+                "all": results,
             }
         )
     )
