@@ -167,6 +167,164 @@ def make_denoise_fn(
     return denoise
 
 
+def padded_ladder(
+    schedule: schedules.DiffusionSchedule,
+    num_inference_steps: int,
+    max_steps: int,
+    timestep_spacing: str = "trailing",
+    steps_offset: int = 1,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Host-side ladder for :func:`make_padded_denoise_fn`: the true
+    ``num_inference_steps`` ladder front-loaded into [max_steps] arrays with
+    a validity mask (pad steps repeat the last entry and are masked out)."""
+    assert 1 <= num_inference_steps <= max_steps
+    ts = schedules.spaced_timesteps(
+        schedule.num_train_timesteps, num_inference_steps, timestep_spacing,
+        steps_offset,
+    )
+    prev_ts = ts - schedule.num_train_timesteps // num_inference_steps
+    pad = max_steps - num_inference_steps
+    import numpy as np
+
+    ts_p = np.concatenate([ts, np.repeat(ts[-1:], pad)])
+    prev_p = np.concatenate([prev_ts, np.repeat(prev_ts[-1:], pad)])
+    valid = np.concatenate([np.ones(num_inference_steps), np.zeros(pad)])
+    return (
+        jnp.asarray(ts_p, jnp.int32),
+        jnp.asarray(prev_p, jnp.int32),
+        jnp.asarray(valid, jnp.float32),
+    )
+
+
+def make_padded_denoise_fn(
+    unet_apply: Callable[..., jax.Array],
+    schedule: schedules.DiffusionSchedule,
+    factor_net: Optional[FactorNet],
+    max_steps: int,
+    guidance_scale: float = 3.0,
+    record_trajectory: bool = True,
+) -> Callable[..., Tuple[jax.Array, Optional[Trajectory]]]:
+    """Pad-to-max variant of :func:`make_denoise_fn` (SURVEY §7 "Hard parts"
+    bullet 1): ONE compiled program serves every inference-step count in
+    [1, max_steps].  The (t, t_prev, valid) ladder is scan DATA
+    (:func:`padded_ladder`), not a compile-time constant — pad steps run the
+    UNet but their state/latent updates are masked to passthrough and their
+    trajectory masks are zeroed, so the PPO advantage ignores them
+    (flatten_trajectory multiplies adv by masks).
+
+    Trade-off vs per-count programs, measured on the real chip by
+    scripts/probe_padded.py: one compile instead of 14
+    (train_ppo.py:345 randomizes steps in [2,16)), but every rollout pays
+    max_steps UNet forwards.  Semantic deviation recorded: the entropy
+    bonus averages over pad rows too (the reference's masks also gate only
+    the advantage, train_ppo.py:377-390).
+
+    Returned fn: (unet_params, factor_params, key, noise, context,
+    uncond_context, ts[M], prev_ts[M], valid[M]) -> (latents, Trajectory).
+    """
+    if factor_net is None:
+        order_dim, scaler_dim, action_dims = 1, 0, 1
+    else:
+        order_dim = factor_net.config.order_dim
+        scaler_dim = factor_net.config.scaler_dim
+        action_dims = factor_net.config.action_dims
+
+    alphas = jnp.asarray(schedule.alphas_cumprod)
+    do_cfg = guidance_scale > 1.0
+    use_conv = factor_net is not None and factor_net.config.use_conv
+
+    @jax.jit
+    def denoise(unet_params, factor_params, key, noise, context, uncond_context,
+                ts, prev_ts, valid):
+        batch = noise.shape[0]
+        state = solver.init_state(batch, order_dim, noise.shape[1:])
+        if do_cfg:
+            full_context = jnp.concatenate([uncond_context, context], axis=0)
+        else:
+            full_context = context
+
+        def body(carry, xs):
+            st0, latents0, k = carry
+            t, t_prev, v = xs
+            if do_cfg:
+                latent_in = jnp.concatenate([latents0, latents0], axis=0)
+                t_in = jnp.broadcast_to(t, (2 * batch,))
+                eps_all = unet_apply(unet_params, latent_in, t_in, full_context)
+                eps_uncond, eps_text = jnp.split(eps_all, 2, axis=0)
+                eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+            else:
+                eps = unet_apply(
+                    unet_params, latents0, jnp.broadcast_to(t, (batch,)), full_context
+                )
+            eps = eps.astype(jnp.float32)
+
+            conds_x = jnp.tile(
+                jnp.stack([t, t_prev]).astype(jnp.float32)[None], (batch, 1)
+            )
+            st = solver.push(st0, eps)
+            if factor_net is not None:
+                k, sub = jax.random.split(k)
+                conds = {"x": conds_x, "epsilon": st.ets}
+                actions, probs = factor_net.sample_action(factor_params, sub, conds)
+            else:
+                actions = jnp.zeros((batch, action_dims), jnp.float32)
+                probs = jnp.ones((batch, action_dims), jnp.float32)
+
+            order_actions, scale_actions, _ = solver.split_actions(
+                actions, order_dim, scaler_dim
+            )
+            coeffs = solver.normalized_coefficients(
+                order_actions.astype(jnp.float32), st.num_ets, order_dim
+            )
+            effective = solver.combine(st, coeffs)
+            effective, scaled_sample = solver.apply_scalers(
+                effective, latents0.astype(jnp.float32),
+                scale_actions.astype(jnp.float32),
+            )
+            masks = solver.warmup_masks(st.num_ets, order_dim, action_dims, batch)
+            masks = masks * v  # pad steps contribute no advantage
+
+            a_t, a_prev = solver.gather_alpha_prods(
+                alphas, t, t_prev, schedule.final_alpha_cumprod
+            )
+            latents = solver.ddim_update(
+                scaled_sample, effective, a_t, a_prev, schedule.prediction_type
+            )
+            # passthrough on pad steps: latent and solver history unchanged
+            latents = jnp.where(v > 0, latents, latents0)
+            st = jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(v > 0, (1,) * new.ndim), new, old
+                ),
+                st, st0,
+            )
+            record = (conds_x, actions, probs, masks) + (
+                (st.ets,) if use_conv else ()
+            )
+            return (st, latents, k), record
+
+        (_, latents, _), records = jax.lax.scan(
+            body, (state, jnp.asarray(noise, jnp.float32), key),
+            (ts, prev_ts, valid),
+        )
+        if not record_trajectory:
+            return latents, None
+
+        def to_traj(x):
+            return jnp.swapaxes(x[1:], 0, 1)
+
+        traj = Trajectory(
+            conds_x=to_traj(records[0]),
+            actions=to_traj(records[1]),
+            probs=to_traj(records[2]),
+            masks=to_traj(records[3]),
+            conds_eps=to_traj(records[4]) if use_conv else None,
+        )
+        return latents, traj
+
+    return denoise
+
+
 def encode_prompt_fn(text_encoder_apply: Callable[..., jax.Array]):
     """Build a jitted (params, prompt_ids, uncond_ids) -> (context,
     uncond_context) embedder (denoise_ppo.py:25-50)."""
@@ -253,6 +411,22 @@ class TextToImagePipeline:
                 self._denoise_cache[key] = (
                     lambda up, fp, k, noise, ctx, unc: (base(up, noise, ctx, unc), None)
                 )
+        return self._denoise_cache[key]
+
+    def padded_denoise_fn(
+        self,
+        max_steps: int,
+        guidance_scale: float,
+        record: bool = True,
+    ):
+        """One compiled rollout for every step count in [1, max_steps]
+        (make_padded_denoise_fn); call with a :func:`padded_ladder`."""
+        key = ("padded", max_steps, float(guidance_scale), record)
+        if key not in self._denoise_cache:
+            self._denoise_cache[key] = make_padded_denoise_fn(
+                self._unet_apply, self.schedule, self.factor_net, max_steps,
+                guidance_scale, record_trajectory=record,
+            )
         return self._denoise_cache[key]
 
     def __call__(

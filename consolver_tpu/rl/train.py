@@ -45,6 +45,11 @@ class TrainConfig:
     checkpointing_steps: int = 500
     checkpoints_total_limit: Optional[int] = None
     log_every: int = 10
+    # ONE padded rollout program (pipelines/t2i.make_padded_denoise_fn)
+    # instead of a compiled program per inference-step count.  Wins when
+    # (n_counts - 1) * compile_time > train_steps * extra rollout time —
+    # measured numbers in scripts/probe_padded.py / CLAUDE.md.
+    padded_rollout: bool = False
     ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
 
 
@@ -137,16 +142,30 @@ class PPOTrainer(CheckpointMixin):
             self.pipe.text_params, prompt_ids, uncond_ids
         )
 
-        denoise = self.pipe.denoise_fn(num_inference, cfg.guidance_scale)
         key = jax.random.fold_in(jax.random.key(cfg.seed), self.global_step)
-        latents, traj = denoise(
-            self.pipe.unet_params,
-            self.params,
-            key,
-            jnp.asarray(batch["noise"]),
-            context,
-            uncond_context,
-        )
+        if cfg.padded_rollout:
+            from consolver_tpu.pipelines.t2i import padded_ladder
+
+            max_steps = cfg.max_inference_steps - 1  # exclusive upper bound
+            denoise = self.pipe.padded_denoise_fn(max_steps, cfg.guidance_scale)
+            ladder = padded_ladder(
+                self.pipe.schedule, num_inference, max_steps,
+                self.pipe.timestep_spacing, self.pipe.steps_offset,
+            )
+            latents, traj = denoise(
+                self.pipe.unet_params, self.params, key,
+                jnp.asarray(batch["noise"]), context, uncond_context, *ladder,
+            )
+        else:
+            denoise = self.pipe.denoise_fn(num_inference, cfg.guidance_scale)
+            latents, traj = denoise(
+                self.pipe.unet_params,
+                self.params,
+                key,
+                jnp.asarray(batch["noise"]),
+                context,
+                uncond_context,
+            )
 
         rewards, advantages = self._decode_and_reward(
             self.pipe.vae_params, latents, jnp.asarray(batch["latent"])

@@ -188,3 +188,88 @@ def test_v_prediction_pipeline():
     )
     lat_e, _ = denoise_e(unet_params, None, jax.random.key(1), noise, ctx, ctx)
     assert not np.allclose(np.asarray(lat_v), np.asarray(lat_e))
+
+
+class TestPaddedRollout:
+    """Pad-to-max rollout (make_padded_denoise_fn): one program serves every
+    step count; valid steps must match the per-count program EXACTLY (the
+    per-step RNG chain prefix is identical)."""
+
+    def _setup(self):
+        from consolver_tpu.pipelines.t2i import make_padded_denoise_fn, padded_ladder
+
+        (unet, unet_params), _, _ = make_tiny_stack()
+        sched = schedules.DiffusionSchedule.sd15()
+        fcfg = FactorNetConfig(order_dim=3, scaler_dim=0, num_actions=11, family="sd")
+        fnet = FactorNet(fcfg)
+        fparams = fnet.init(jax.random.key(5))
+        apply = lambda p, x, t, c: unet.apply(p, x, t, c)
+        return (make_padded_denoise_fn, padded_ladder, sched, fnet, fparams,
+                apply, unet_params)
+
+    def test_matches_per_count_program(self):
+        (make_padded, padded_ladder, sched, fnet, fparams, apply,
+         unet_params) = self._setup()
+        max_steps, steps = 6, 3
+        noise = jax.random.normal(jax.random.key(6), (2, 8, 8, 4))
+        ctx = jax.random.normal(jax.random.key(7), (2, 4, 32))
+        key = jax.random.key(8)
+
+        ref = make_denoise_fn(apply, sched, fnet, steps, 3.0)
+        lat_ref, traj_ref = ref(unet_params, fparams, key, noise, ctx, ctx)
+
+        padded = make_padded(apply, sched, fnet, max_steps, 3.0)
+        ts, prev, valid = padded_ladder(sched, steps, max_steps)
+        lat_p, traj_p = padded(unet_params, fparams, key, noise, ctx, ctx,
+                               ts, prev, valid)
+
+        np.testing.assert_allclose(
+            np.asarray(lat_ref), np.asarray(lat_p), rtol=1e-5, atol=1e-5
+        )
+        # first steps-1 recorded entries identical; pad entries masked out
+        np.testing.assert_allclose(
+            np.asarray(traj_ref.actions),
+            np.asarray(traj_p.actions[:, : steps - 1]), atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(traj_ref.masks),
+            np.asarray(traj_p.masks[:, : steps - 1]), atol=1e-6,
+        )
+        assert np.asarray(traj_p.masks[:, steps - 1 :]).max() == 0.0
+        assert traj_p.actions.shape[1] == max_steps - 1
+
+    def test_full_count_equals_unpadded(self):
+        (make_padded, padded_ladder, sched, fnet, fparams, apply,
+         unet_params) = self._setup()
+        steps = 4
+        noise = jax.random.normal(jax.random.key(9), (1, 8, 8, 4))
+        ctx = jax.random.normal(jax.random.key(10), (1, 4, 32))
+        key = jax.random.key(11)
+        ref = make_denoise_fn(apply, sched, fnet, steps, 3.0)
+        lat_ref, _ = ref(unet_params, fparams, key, noise, ctx, ctx)
+        padded = make_padded(apply, sched, fnet, steps, 3.0)
+        lat_p, _ = padded(unet_params, fparams, key, noise, ctx, ctx,
+                          *padded_ladder(sched, steps, steps))
+        np.testing.assert_allclose(
+            np.asarray(lat_ref), np.asarray(lat_p), rtol=1e-6, atol=1e-6
+        )
+
+    def test_one_program_many_counts(self):
+        """Different counts reuse the same compiled fn (no retrace): results
+        differ across counts but stay finite."""
+        (make_padded, padded_ladder, sched, fnet, fparams, apply,
+         unet_params) = self._setup()
+        max_steps = 6
+        noise = jax.random.normal(jax.random.key(12), (1, 8, 8, 4))
+        ctx = jax.random.normal(jax.random.key(13), (1, 4, 32))
+        padded = make_padded(apply, sched, fnet, max_steps, 3.0)
+        outs = []
+        for steps in (2, 4, 6):
+            lat, traj = padded(
+                unet_params, fparams, jax.random.key(14), noise, ctx, ctx,
+                *padded_ladder(sched, steps, max_steps)
+            )
+            assert bool(jnp.isfinite(lat).all())
+            assert float(np.asarray(traj.masks).sum(axis=(0, 2))[: steps - 1].min()) > 0
+            outs.append(np.asarray(lat))
+        assert not np.allclose(outs[0], outs[2])

@@ -257,3 +257,45 @@ def test_fit_checkpoints_on_failure(tmp_path):
     trainer2 = PPOTrainer(pipe, make_reward_fn("image_psnr"), config)
     assert trainer2.resume_from_checkpoint("latest")
     assert trainer2.global_step == 1
+
+
+def test_padded_rollout_trainer_matches_rewards(tmp_path):
+    """padded_rollout=True: one compiled rollout for all step counts; the
+    rollout itself is EXACT vs the per-count program (same RNG chain
+    prefix), so per-step rewards must match the default trainer."""
+    from tests.test_pipeline import make_tiny_stack
+    from consolver_tpu.pipelines.t2i import TextToImagePipeline
+    from consolver_tpu.rewards.registry import make_reward_fn
+    from consolver_tpu.rl.train import PPOTrainer, TrainConfig
+
+    (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()
+    sched = schedules.DiffusionSchedule.sd15()
+    fcfg = FactorNetConfig(order_dim=3, scaler_dim=0, num_actions=11, family="sd")
+
+    def build(padded, out):
+        fnet = FactorNet(fcfg)
+        pipe = TextToImagePipeline(
+            unet, unet_params, te, te_params, vae, vae_params, sched,
+            factor_net=fnet, factor_params=fnet.init(jax.random.key(1)),
+        )
+        config = TrainConfig(
+            min_inference_steps=2, max_inference_steps=5, seed=3,
+            output_dir=out, padded_rollout=padded,
+            ppo=PPOConfig(ppo_epochs=1, learning_rate=1e-3),
+        )
+        return PPOTrainer(pipe, make_reward_fn("image_psnr"), config)
+
+    rng = np.random.default_rng(4)
+    batch = {
+        "noise": rng.standard_normal((4, 8, 8, 4)).astype(np.float32),
+        "latent": rng.standard_normal((4, 8, 8, 4)).astype(np.float32),
+        "prompt_ids": np.ones((4, 4), np.int64),
+    }
+    t_ref = build(False, str(tmp_path / "ref"))
+    t_pad = build(True, str(tmp_path / "pad"))
+    for _ in range(2):  # two different drawn step counts
+        m_ref = t_ref.train_step(dict(batch))
+        m_pad = t_pad.train_step(dict(batch))
+        assert m_ref["num_inference"] == m_pad["num_inference"]
+        np.testing.assert_allclose(m_ref["reward"], m_pad["reward"], rtol=1e-5)
+        assert np.isfinite(m_pad["loss"])
