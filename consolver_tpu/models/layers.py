@@ -272,6 +272,7 @@ class VaeAttention(nn.Module):
 
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -279,11 +280,11 @@ class VaeAttention(nn.Module):
         residual = x
         x = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="group_norm")(x)
         x = x.reshape(b, h * w, c).astype(self.dtype)
-        q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
-        v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
+        q = make_dense(self.quant, c, dtype=self.dtype, name="to_q")(x)
+        k = make_dense(self.quant, c, dtype=self.dtype, name="to_k")(x)
+        v = make_dense(self.quant, c, dtype=self.dtype, name="to_v")(x)
         out = attention_op(
             q.reshape(b, h * w, 1, c), k.reshape(b, h * w, 1, c), v.reshape(b, h * w, 1, c)
         ).reshape(b, h * w, c)
-        out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
+        out = make_dense(self.quant, c, dtype=self.dtype, name="to_out_0")(out)
         return out.reshape(b, h, w, c) + residual

@@ -32,6 +32,10 @@ class VaeConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
+    # W8A8 int8 convs/denses in the DECODER only (kernels/quant.py): the
+    # preview hot path decodes every rollout; the encoder (data prep) stays
+    # float.  conv_in/out stay float.
+    quant_int8: bool = False
 
     @classmethod
     def sd15(cls) -> "VaeConfig":
@@ -48,12 +52,16 @@ class _MidBlock(nn.Module):
     channels: int
     groups: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = ResnetBlock2D(self.channels, self.groups, dtype=self.dtype, name="resnets_0")(x)
-        x = VaeAttention(self.groups, dtype=self.dtype, name="attentions_0")(x)
-        x = ResnetBlock2D(self.channels, self.groups, dtype=self.dtype, name="resnets_1")(x)
+        x = ResnetBlock2D(self.channels, self.groups, dtype=self.dtype,
+                          quant=self.quant, name="resnets_0")(x)
+        x = VaeAttention(self.groups, dtype=self.dtype, quant=self.quant,
+                         name="attentions_0")(x)
+        x = ResnetBlock2D(self.channels, self.groups, dtype=self.dtype,
+                          quant=self.quant, name="resnets_1")(x)
         return x
 
 
@@ -79,13 +87,16 @@ class UpDecoderBlock(nn.Module):
     groups: int
     add_upsample: bool
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         for j in range(self.layers):
-            x = ResnetBlock2D(self.out_channels, self.groups, dtype=self.dtype, name=f"resnets_{j}")(x)
+            x = ResnetBlock2D(self.out_channels, self.groups, dtype=self.dtype,
+                              quant=self.quant, name=f"resnets_{j}")(x)
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+            x = Upsample2D(self.out_channels, dtype=self.dtype,
+                           quant=self.quant, name="upsamplers_0")(x)
         return x
 
 
@@ -121,13 +132,14 @@ class Decoder(nn.Module):
         x = nn.Conv(cfg.block_out_channels[-1], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
             z.astype(self.dtype)
         )
-        x = _MidBlock(cfg.block_out_channels[-1], cfg.norm_num_groups, dtype=self.dtype, name="mid_block")(x)
+        x = _MidBlock(cfg.block_out_channels[-1], cfg.norm_num_groups,
+                      dtype=self.dtype, quant=cfg.quant_int8, name="mid_block")(x)
         reversed_channels = list(reversed(cfg.block_out_channels))
         for i, out_ch in enumerate(reversed_channels):
             x = UpDecoderBlock(
                 out_ch, cfg.layers_per_block + 1, cfg.norm_num_groups,
                 add_upsample=i != len(reversed_channels) - 1,
-                dtype=self.dtype, name=f"up_blocks_{i}",
+                dtype=self.dtype, quant=cfg.quant_int8, name=f"up_blocks_{i}",
             )(x)
         x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(x)
         x = nn.silu(x).astype(self.dtype)

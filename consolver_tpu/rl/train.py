@@ -46,9 +46,12 @@ class TrainConfig:
     checkpoints_total_limit: Optional[int] = None
     log_every: int = 10
     # ONE padded rollout program (pipelines/t2i.make_padded_denoise_fn)
-    # instead of a compiled program per inference-step count.  Wins when
-    # (n_counts - 1) * compile_time > train_steps * extra rollout time —
-    # measured numbers in scripts/probe_padded.py / CLAUDE.md.
+    # instead of a compiled program per inference-step count.  Measured on
+    # the real chip (scripts/probe_padded.py, SD-1.5 bf16 batch 8): per-count
+    # ~80s compile x14 = 18.5 min warmup, steady 122ms/step; padded 2 min
+    # warmup but flat 1825ms (= max_steps) per rollout -> break-even ~1300
+    # train steps.  Production runs 3001 steps (run_ppo.sh), so per-count is
+    # the default; turn this on for short runs/sweeps (< ~1300 steps).
     padded_rollout: bool = False
     ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
 

@@ -125,3 +125,33 @@ def test_unquantized_config_unchanged():
         for path, _ in jax.tree_util.tree_flatten_with_path(shapes)[0]
     ]
     assert not any("kernel_scale" in p for p in paths)
+
+
+def test_quantized_vae_decoder_close_to_float():
+    """quant_int8 VAE: decoder runs int8, encoder stays float; decode output
+    stays close to the float decode."""
+    from consolver_tpu.models.vae import AutoencoderKL, VaeConfig
+
+    cfg = VaeConfig.tiny()
+    vae = AutoencoderKL(cfg)
+    z = jax.random.normal(jax.random.key(0), (2, 8, 8, cfg.latent_channels))
+    params = vae.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)), jax.random.key(2))
+    ref = vae.apply(params, z, method=vae.decode)
+
+    qcfg = VaeConfig(**{**cfg.__dict__, "quant_int8": True})
+    qvae = AutoencoderKL(qcfg)
+    qshapes = jax.eval_shape(
+        qvae.init, jax.random.key(1), jnp.zeros((1, 16, 16, 3)), jax.random.key(2)
+    )
+    qparams = quantize_params_like(qshapes, params)
+    out = qvae.apply(qparams, z, method=qvae.decode)
+    rel = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-8))
+    assert rel < 0.10, rel
+
+    # encoder params are untouched floats (no kernel_scale under encoder)
+    enc_paths = [
+        "/".join(p.key for p in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(qparams)[0]
+    ]
+    assert not any("encoder" in p and "kernel_scale" in p for p in enc_paths)
+    assert any("decoder" in p and "kernel_scale" in p for p in enc_paths)
