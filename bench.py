@@ -77,11 +77,23 @@ def build(quant: bool):
     else:
         unet = unet_f
 
-    vae = AutoencoderKL(VaeConfig.sd15(), dtype=jnp.bfloat16)
+    vcfg = VaeConfig.sd15()
+    vae_f = AutoencoderKL(vcfg, dtype=jnp.bfloat16)
     vae_shapes = jax.eval_shape(
-        vae.init, jax.random.key(0), jnp.zeros((1, 512, 512, 3)), jax.random.key(1)
+        vae_f.init, jax.random.key(0), jnp.zeros((1, 512, 512, 3)), jax.random.key(1)
     )
     vae_params = random_params_like(vae_shapes, 2, jnp.bfloat16)
+    if quant:
+        vae = AutoencoderKL(
+            VaeConfig(**{**vcfg.__dict__, "quant_int8": True}), dtype=jnp.bfloat16
+        )
+        qvshapes = jax.eval_shape(
+            vae.init, jax.random.key(0), jnp.zeros((1, 512, 512, 3)),
+            jax.random.key(1),
+        )
+        vae_params = quantize_params_like(qvshapes, vae_params)
+    else:
+        vae = vae_f
 
     sched = schedules.DiffusionSchedule.sd15()
     fcfg = FactorNetConfig(order_dim=4, scaler_dim=0, num_actions=11, family="sd")
@@ -126,7 +138,7 @@ def time_preview(preview, unet_params, vae_params, fparams, batch, iters=5):
     return batch * iters / elapsed
 
 
-def quality_psnr(preview_a, params_a, preview_b, params_b, vae_params, fparams):
+def quality_psnr(preview_a, params_a, vae_a, preview_b, params_b, vae_b, fparams):
     """PSNR between the two paths' previews on identical noise/conditioning."""
     import jax
     import jax.numpy as jnp
@@ -136,12 +148,10 @@ def quality_psnr(preview_a, params_a, preview_b, params_b, vae_params, fparams):
     unc = jax.random.normal(jax.random.key(42), (4, 77, 768), jnp.bfloat16)
     key = jax.random.key(43)
     img_a = np.asarray(
-        preview_a(params_a, vae_params, fparams, key, noise, ctx, unc),
-        np.float32,
+        preview_a(params_a, vae_a, fparams, key, noise, ctx, unc), np.float32
     )
     img_b = np.asarray(
-        preview_b(params_b, vae_params, fparams, key, noise, ctx, unc),
-        np.float32,
+        preview_b(params_b, vae_b, fparams, key, noise, ctx, unc), np.float32
     )
     mse = float(np.mean((img_a - img_b) ** 2)) + 1e-12
     return 10.0 * np.log10(1.0 / mse)
@@ -150,22 +160,22 @@ def quality_psnr(preview_a, params_a, preview_b, params_b, vae_params, fparams):
 def main():
     results = {}
 
-    bf16_preview, bf16_up, vae_params, fparams = build(quant=False)
-    int8_preview, int8_up, _, _ = build(quant=True)
+    bf16_preview, bf16_up, bf16_vp, fparams = build(quant=False)
+    int8_preview, int8_up, int8_vp, _ = build(quant=True)
 
     psnr = quality_psnr(
-        int8_preview, int8_up, bf16_preview, bf16_up, vae_params, fparams
+        int8_preview, int8_up, int8_vp, bf16_preview, bf16_up, bf16_vp, fparams
     )
     int8_ok = psnr >= QUALITY_GATE_PSNR_DB
 
-    for name, preview, up in (
-        ("bf16", bf16_preview, bf16_up),
-        ("int8", int8_preview, int8_up),
+    for name, preview, up, vp in (
+        ("bf16", bf16_preview, bf16_up, bf16_vp),
+        ("int8", int8_preview, int8_up, int8_vp),
     ):
         for batch in (8, 16):
             try:
                 results[f"{name}_b{batch}"] = round(
-                    time_preview(preview, up, vae_params, fparams, batch), 4
+                    time_preview(preview, up, vp, fparams, batch), 4
                 )
             except Exception as e:  # remote-compile 500s etc.: keep going
                 results[f"{name}_b{batch}"] = f"failed: {type(e).__name__}"
