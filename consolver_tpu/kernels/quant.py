@@ -160,6 +160,51 @@ class Int8Conv(nn.Module):
         )
 
 
+def int8_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, dtype: Optional[jnp.dtype] = None
+) -> jax.Array:
+    """Int8 QK^T and PV with f32 softmax in between.
+
+    Layout matches kernels/attention: q [B,Sq,H,D], k/v [B,Sk,H,D].
+    Quant scheme: q/k per-token symmetric along D (scales [B,S,H,1]);
+    softmax probs per-row (max <= 1, dynamic amax); v per-channel along D.
+
+    MEASURED DEAD END for the SD UNet (scripts/probe_int8_attn.py on the
+    real chip): 0.17x the fused bf16 XLA attention at the 64^2 d=40 shape,
+    0.6-0.7x elsewhere — materializing the quantized [B,H,Sq,Sk] probs and
+    the d=40 int8 tile padding (min int8 tile is (32,128)) cost far more
+    than the 2x MXU rate buys.  Kept for reference / large-d shapes; NOT
+    wired into any model — models quantize only their projections and keep
+    attention on the fused bf16 path."""
+    out_dtype = dtype or q.dtype
+    d = q.shape[-1]
+    sm_scale = 1.0 / np.sqrt(d)
+
+    qq, qs = _quantize_act(q, per_token=True)  # qs [B,Sq,H,1]
+    kq, ks = _quantize_act(k, per_token=True)  # ks [B,Sk,H,1]
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", qq, kq, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    scores = scores * jnp.transpose(qs, (0, 2, 1, 3))  # [B,H,Sq,1]
+    scores = scores * jnp.transpose(ks, (0, 2, 3, 1))  # [B,H,1,Sk]
+    probs = jax.nn.softmax(scores * sm_scale, axis=-1)
+
+    p_amax = jnp.max(probs, axis=-1, keepdims=True)
+    p_scale = jnp.maximum(p_amax, 1e-8) / 127.0
+    pq = jnp.clip(jnp.round(probs / p_scale), -127, 127).astype(jnp.int8)
+
+    v32 = v.astype(jnp.float32)
+    v_amax = jnp.max(jnp.abs(v32), axis=(0, 1), keepdims=True)  # [1,1,H,D]
+    v_scale = jnp.maximum(v_amax, 1e-8) / 127.0
+    vq = jnp.clip(jnp.round(v32 / v_scale), -127, 127).astype(jnp.int8)
+
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", pq, vq, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    out = out * jnp.transpose(p_scale, (0, 2, 1, 3)) * v_scale
+    return out.astype(out_dtype)
+
+
 def quantize_params_like(quant_shapes: Any, params: Any) -> Any:
     """Convert a float param tree into the quantized model's tree.
 

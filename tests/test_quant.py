@@ -155,3 +155,19 @@ def test_quantized_vae_decoder_close_to_float():
     ]
     assert not any("encoder" in p and "kernel_scale" in p for p in enc_paths)
     assert any("decoder" in p and "kernel_scale" in p for p in enc_paths)
+
+
+def test_int8_attention_close_to_float():
+    """int8 QK/PV attention vs the XLA float reference at an SD-like shape."""
+    from consolver_tpu.kernels.attention import xla_attention
+    from consolver_tpu.kernels.quant import int8_attention
+
+    rng = np.random.default_rng(5)
+    b, s, h, d = 2, 64, 4, 40
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    ref = xla_attention(q, k, v)
+    out = int8_attention(q, k, v)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
