@@ -21,8 +21,11 @@ def test_forward_shape_and_param_count():
 
 
 def test_forward_runs():
+    # 127^2 instead of the production 299^2: the global pool makes the
+    # architecture size-agnostic and the full-size conv stack costs ~40s of
+    # pure CPU execution; structure is covered by the param-count test
     model = InceptionV3()
-    x = jnp.zeros((1, 299, 299, 3))
+    x = jnp.zeros((1, 127, 127, 3))
     params = model.init(jax.random.key(0), x)
     feats = model.apply(params, x)
     assert feats.shape == (1, 2048)

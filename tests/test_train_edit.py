@@ -63,7 +63,7 @@ def test_edit_trainer_mesh_matches_single_device(pipe, tmp_path):  # noqa: F811
         # fresh factor params per trainer (the fixture pipe is shared)
         pipe.factor_params = pipe.factor_net.init(jax.random.key(7))
         config = TrainConfig(
-            min_inference_steps=3, max_inference_steps=4, seed=5,
+            min_inference_steps=2, max_inference_steps=3, seed=5,
             output_dir=out, ppo=PPOConfig(ppo_epochs=1, learning_rate=1e-3),
         )
         return EditPPOTrainer(pipe, make_reward_fn("image_psnr"), config, mesh=mesh)
