@@ -15,6 +15,41 @@ class CheckpointMixin:
     """Requires: self.config (output_dir, checkpoints_total_limit),
     self.params, self.opt_state, self.global_step, self.pipe."""
 
+    def fit(self, batches, log_fn=None):
+        """Shared training loop: iterate host batches through train_step
+        with periodic checkpoints and the param-replication probe.
+
+        On an unexpected failure the current state is checkpointed before
+        re-raising, so ``resume_from_checkpoint('latest')`` restarts from
+        the failed step (the reference has no such recovery; SURVEY.md §5).
+        Every 10th log interval also logs ``param_sum`` — the TPU-native
+        version of the reference's DDP param-sum print
+        (train_ppo.py:452-455; edit twin edit_ppo/train_ppo.py:404-407).
+        """
+        from consolver_tpu.dist.mesh import assert_params_synced
+
+        try:
+            for batch in batches:
+                if self.global_step >= self.config.max_train_steps:
+                    break
+                metrics = self.train_step(batch)
+                if self.global_step % self.config.checkpointing_steps == 0:
+                    self.save_checkpoint()
+                if log_fn and self.global_step % self.config.log_every == 0:
+                    if self.global_step % (self.config.log_every * 10) == 0:
+                        metrics["param_sum"] = assert_params_synced(self.params)
+                    log_fn(self.global_step, metrics)
+        except KeyboardInterrupt:
+            self.save_checkpoint()
+            raise
+        except Exception:
+            try:
+                self.save_checkpoint()
+            except Exception:
+                pass
+            raise
+        return self.params
+
     def save_checkpoint(self) -> str:
         import jax
         import orbax.checkpoint as ocp

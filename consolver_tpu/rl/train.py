@@ -193,37 +193,5 @@ class PPOTrainer(CheckpointMixin):
         out["num_inference"] = num_inference
         return out
 
-    # ------------------------------------------------------------------
-    def fit(self, batches, log_fn: Optional[Callable[[int, Dict], None]] = None):
-        """Run the training loop over an iterable of host batches.
-
-        On an unexpected failure the current state is checkpointed before
-        re-raising, so ``resume_from_checkpoint('latest')`` restarts from
-        the failed step (the reference has no such recovery; SURVEY.md §5).
-        Every 10th step logs the replication probe ``param_sum`` — the
-        TPU-native version of the reference's DDP param-sum print
-        (train_ppo.py:452-455).
-        """
-        from consolver_tpu.dist.mesh import assert_params_synced
-
-        try:
-            for batch in batches:
-                if self.global_step >= self.config.max_train_steps:
-                    break
-                metrics = self.train_step(batch)
-                if self.global_step % self.config.checkpointing_steps == 0:
-                    self.save_checkpoint()
-                if log_fn and self.global_step % self.config.log_every == 0:
-                    if self.global_step % (self.config.log_every * 10) == 0:
-                        metrics["param_sum"] = assert_params_synced(self.params)
-                    log_fn(self.global_step, metrics)
-        except KeyboardInterrupt:
-            self.save_checkpoint()
-            raise
-        except Exception:
-            try:
-                self.save_checkpoint()
-            except Exception:
-                pass
-            raise
-        return self.params
+    # fit() — the shared training loop with failure checkpointing and the
+    # replication probe — comes from CheckpointMixin.

@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--max-prompts", type=int, default=None)
     ap.add_argument("--latent-size", type=int, default=None,
                     help="latent H=W (default: 64 with --pretrained, 8 smoke)")
+    ap.add_argument("--shard", action="store_true",
+                    help="shard each generation batch over a data mesh of all "
+                         "visible devices (replaces the reference's 8-GPU "
+                         "thread pool, gen_ppo.py:446-462)")
     args = ap.parse_args()
 
     from consolver_tpu.configs.config import ExperimentConfig, apply_overrides
@@ -73,6 +77,38 @@ def main():
     )
     latent = args.latent_size or (64 if args.pretrained else 8)
 
+    mesh = None
+    if args.shard:
+        from consolver_tpu.dist import mesh as meshlib
+
+        mesh = meshlib.make_mesh()
+        pipe.unet_params = meshlib.replicate(mesh, pipe.unet_params)
+        pipe.text_params = meshlib.replicate(mesh, pipe.text_params)
+        pipe.vae_params = meshlib.replicate(mesh, pipe.vae_params)
+        if pipe.factor_params is not None:
+            pipe.factor_params = meshlib.replicate(mesh, pipe.factor_params)
+
+    def shard_inputs(ids, noise):
+        if mesh is None:
+            return ids, noise
+        from consolver_tpu.dist import mesh as meshlib
+
+        return meshlib.shard_batch(mesh, (ids, noise))
+
+    def pad_batch(gen):
+        """Pad ragged final batches to the device count, slice back."""
+        if mesh is None:
+            return gen
+        n_dev = mesh.devices.size
+
+        def wrapped(key, batch_prompts):
+            n = len(batch_prompts)
+            pad = (-n) % n_dev
+            out = gen(key, list(batch_prompts) + [batch_prompts[-1]] * pad)
+            return out[:n]
+
+        return wrapped
+
     if args.eta > 0:
         # stochastic DDIM goes through the zoo solver directly (the eta
         # parameter of the reference pipeline call)
@@ -104,8 +140,9 @@ def main():
             ids = jnp.asarray(tokenize_batch(
                 tokenizer, batch_prompts, 77,
                 vocab_size=pipe.text_encoder.cfg.vocab_size))
-            ctx, unc = pipe._encode(pipe.text_params, ids, jnp.zeros_like(ids))
             noise = jax.random.normal(key, (len(batch_prompts), latent, latent, 4))
+            ids, noise = shard_inputs(ids, noise)
+            ctx, unc = pipe._encode(pipe.text_params, ids, jnp.zeros_like(ids))
             latents = make_eta_denoise(key)(pipe.unet_params, noise, ctx, unc)
             return decode_latents(pipe.vae, pipe.vae_params, latents)
     else:
@@ -114,13 +151,14 @@ def main():
                 tokenizer, batch_prompts, 77,
                 vocab_size=pipe.text_encoder.cfg.vocab_size))
             noise = jax.random.normal(key, (len(batch_prompts), latent, latent, 4))
+            ids, noise = shard_inputs(ids, noise)
             images, _ = pipe(
                 key, ids, noise, args.steps, args.cfg, solver=args.solver
             )
             return images
 
     files = generate_sweep(
-        generate_batch, prompts, args.out, args.batch_size, args.seed
+        pad_batch(generate_batch), prompts, args.out, args.batch_size, args.seed
     )
     print(f"wrote {len(files)} images to {args.out}")
 

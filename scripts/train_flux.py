@@ -99,18 +99,20 @@ def main():
         pipe, reward_fn, cfg.train,
         dump_samples_to=os.path.join(cfg.train.output_dir, "samples"),
     )
+    trainer.resume_from_checkpoint("latest")
     logger = MetricLogger(cfg.train.output_dir, config=dataclasses.asdict(cfg))
     dataset = TeacherDataset(cfg.data.train_data_dir)
 
-    step = 0
-    while step < cfg.train.max_train_steps:
-        for batch in dataset.batches(cfg.data.batch_size, seed=step):
-            if step >= cfg.train.max_train_steps:
-                break
-            metrics = trainer.train_step(batch)
-            if step % cfg.train.log_every == 0:
-                logger.log(step, metrics)
-            step = trainer.global_step
+    def batches():
+        epoch = 0
+        while True:
+            yield from dataset.batches(
+                cfg.data.batch_size, seed=epoch, shuffle=cfg.data.shuffle
+            )
+            epoch += 1
+
+    trainer.fit(batches(), log_fn=logger.log)
+    trainer.save_checkpoint()
     logger.close()
 
 
