@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from consolver_tpu.kernels.attention import attention as attention_op
+from consolver_tpu.models.layers import make_dense
 from consolver_tpu.models.layers import timestep_embedding
 
 
@@ -41,6 +42,10 @@ class FluxConfig:
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
+
+    # W8A8 int8 for the attention/FF projections of the stream blocks
+    # (kernels/quant.py); embedders/modulation/final-proj stay float.
+    quant_int8: bool = False
 
     @classmethod
     def flux_kontext(cls) -> "FluxConfig":
@@ -181,9 +186,9 @@ class DoubleStreamBlock(nn.Module):
         )
 
         def qkv(x, prefix):
-            q = nn.Dense(h, dtype=self.dtype, name=f"{prefix}q")(x)
-            k = nn.Dense(h, dtype=self.dtype, name=f"{prefix}k")(x)
-            v = nn.Dense(h, dtype=self.dtype, name=f"{prefix}v")(x)
+            q = make_dense(cfg.quant_int8, h, dtype=self.dtype, name=f"{prefix}q")(x)
+            k = make_dense(cfg.quant_int8, h, dtype=self.dtype, name=f"{prefix}k")(x)
+            v = make_dense(cfg.quant_int8, h, dtype=self.dtype, name=f"{prefix}v")(x)
             return (
                 q.reshape(b, -1, nh, hd),
                 k.reshape(b, -1, nh, hd),
@@ -205,26 +210,29 @@ class DoubleStreamBlock(nn.Module):
         out = attention_op(q, k, v).reshape(b, -1, h)
         txt_attn, img_attn = out[:, :s_txt], out[:, s_txt:]
 
-        img = img + i_gate_a[:, None, :] * nn.Dense(
-            h, dtype=self.dtype, name="attn_to_out_0"
+        img = img + i_gate_a[:, None, :] * make_dense(
+            cfg.quant_int8, h, dtype=self.dtype, name="attn_to_out_0"
         )(img_attn)
-        txt = txt + t_gate_a[:, None, :] * nn.Dense(
-            h, dtype=self.dtype, name="attn_to_add_out"
+        txt = txt + t_gate_a[:, None, :] * make_dense(
+            cfg.quant_int8, h, dtype=self.dtype, name="attn_to_add_out"
         )(txt_attn)
 
         img_m = _modulate(ln("norm2")(img).astype(self.dtype), i_shift_m, i_scale_m)
         txt_m = _modulate(
             ln("norm2_context")(txt).astype(self.dtype), t_shift_m, t_scale_m
         )
-        img_ff = nn.Dense(h, dtype=self.dtype, name="ff_net_2")(
+        img_ff = make_dense(cfg.quant_int8, h, dtype=self.dtype, name="ff_net_2")(
             nn.gelu(
-                nn.Dense(mlp_h, dtype=self.dtype, name="ff_net_0_proj")(img_m),
+                make_dense(cfg.quant_int8, mlp_h, dtype=self.dtype,
+                           name="ff_net_0_proj")(img_m),
                 approximate=True,
             )
         )
-        txt_ff = nn.Dense(h, dtype=self.dtype, name="ff_context_net_2")(
+        txt_ff = make_dense(cfg.quant_int8, h, dtype=self.dtype,
+                            name="ff_context_net_2")(
             nn.gelu(
-                nn.Dense(mlp_h, dtype=self.dtype, name="ff_context_net_0_proj")(txt_m),
+                make_dense(cfg.quant_int8, mlp_h, dtype=self.dtype,
+                           name="ff_context_net_0_proj")(txt_m),
                 approximate=True,
             )
         )
@@ -255,9 +263,9 @@ class SingleStreamBlock(nn.Module):
             scale,
         )
 
-        q = nn.Dense(h, dtype=self.dtype, name="attn_to_q")(x_n).reshape(b, s, nh, hd)
-        k = nn.Dense(h, dtype=self.dtype, name="attn_to_k")(x_n).reshape(b, s, nh, hd)
-        v = nn.Dense(h, dtype=self.dtype, name="attn_to_v")(x_n).reshape(b, s, nh, hd)
+        q = make_dense(cfg.quant_int8, h, dtype=self.dtype, name="attn_to_q")(x_n).reshape(b, s, nh, hd)
+        k = make_dense(cfg.quant_int8, h, dtype=self.dtype, name="attn_to_k")(x_n).reshape(b, s, nh, hd)
+        v = make_dense(cfg.quant_int8, h, dtype=self.dtype, name="attn_to_v")(x_n).reshape(b, s, nh, hd)
         q = QKNorm(dtype=self.dtype, name="attn_norm_q")(q)
         k = QKNorm(dtype=self.dtype, name="attn_norm_k")(k)
         q = apply_rope(q, cos, sin)
@@ -265,9 +273,10 @@ class SingleStreamBlock(nn.Module):
         attn = attention_op(q, k, v).reshape(b, s, h)
 
         mlp = nn.gelu(
-            nn.Dense(mlp_h, dtype=self.dtype, name="proj_mlp")(x_n), approximate=True
+            make_dense(cfg.quant_int8, mlp_h, dtype=self.dtype, name="proj_mlp")(x_n),
+            approximate=True,
         )
-        out = nn.Dense(h, dtype=self.dtype, name="proj_out")(
+        out = make_dense(cfg.quant_int8, h, dtype=self.dtype, name="proj_out")(
             jnp.concatenate([attn, mlp], axis=-1)
         )
         return x + gate[:, None, :] * out

@@ -171,3 +171,31 @@ def test_int8_attention_close_to_float():
     out = int8_attention(q, k, v)
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 0.03, rel
+
+
+def test_quantized_flux_close_to_float():
+    """FluxConfig.quant_int8: stream-block projections run int8; output
+    stays close to float and composes with the rope/flash attention path."""
+    from consolver_tpu.models.flux import FluxConfig, FluxTransformer
+
+    cfg = FluxConfig.tiny()
+    model = FluxTransformer(cfg)
+    b, s_img, s_txt = 1, 8, 4
+    img = jax.random.normal(jax.random.key(0), (b, s_img, cfg.in_channels))
+    txt = jax.random.normal(jax.random.key(1), (b, s_txt, cfg.joint_text_dim))
+    pooled = jax.random.normal(jax.random.key(2), (b, cfg.pooled_text_dim))
+    t = jnp.ones((b,))
+    g = jnp.ones((b,))
+    img_ids = jnp.zeros((s_img, 3))
+    txt_ids = jnp.zeros((s_txt, 3))
+    args = (img, txt, pooled, t, g, img_ids, txt_ids)
+    params = model.init(jax.random.key(3), *args)
+    ref = model.apply(params, *args)
+
+    qcfg = FluxConfig(**{**cfg.__dict__, "quant_int8": True})
+    qmodel = FluxTransformer(qcfg)
+    qshapes = jax.eval_shape(qmodel.init, jax.random.key(3), *args)
+    qparams = quantize_params_like(qshapes, params)
+    out = qmodel.apply(qparams, *args)
+    rel = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-8))
+    assert rel < 0.10, rel
