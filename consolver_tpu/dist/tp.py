@@ -39,6 +39,12 @@ FLUX_TP_RULES: Rules = (
     # single-stream fused projections
     (r"proj_mlp/kernel$", P(None, MODEL_AXIS)),
     (r"proj_out/kernel$", P(MODEL_AXIS, None)),
+    # adaLN modulation linears: h -> 6h/3h/2h — at flux_kontext size these
+    # are the LARGEST weights (~3.2B params total); split the output dim
+    # (the 6-way split + per-token broadcast reshard under jit)
+    (r"norm1(_context)?_linear/kernel$", P(None, MODEL_AXIS)),
+    (r"norm_linear/kernel$", P(None, MODEL_AXIS)),
+    (r"norm_out_linear/kernel$", P(None, MODEL_AXIS)),
 )
 
 # SD UNet: split attention + GEGLU projections in the transformer blocks.

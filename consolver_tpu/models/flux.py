@@ -43,8 +43,10 @@ class FluxConfig:
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
 
-    # W8A8 int8 for the attention/FF projections of the stream blocks
-    # (kernels/quant.py); embedders/modulation/final-proj stay float.
+    # W8A8 int8 for the attention/FF/adaLN-modulation projections of the
+    # stream blocks (kernels/quant.py); embedders and the final norm/proj
+    # stay float.  At flux_kontext size this brings the 11.9B-param DiT to
+    # ~12GB — inside a single 16GB chip (bf16 needs >= 2 chips + TP).
     quant_int8: bool = False
 
     @classmethod
@@ -166,10 +168,10 @@ class DoubleStreamBlock(nn.Module):
         b = img.shape[0]
         s_txt = txt.shape[1]
 
-        mod_img = nn.Dense(6 * h, dtype=self.dtype, name="norm1_linear")(nn.silu(vec))
-        mod_txt = nn.Dense(6 * h, dtype=self.dtype, name="norm1_context_linear")(
-            nn.silu(vec)
-        )
+        mod_img = make_dense(cfg.quant_int8, 6 * h, dtype=self.dtype,
+                             name="norm1_linear")(nn.silu(vec))
+        mod_txt = make_dense(cfg.quant_int8, 6 * h, dtype=self.dtype,
+                             name="norm1_context_linear")(nn.silu(vec))
         i_shift_a, i_scale_a, i_gate_a, i_shift_m, i_scale_m, i_gate_m = jnp.split(
             mod_img, 6, axis=-1
         )
@@ -252,7 +254,8 @@ class SingleStreamBlock(nn.Module):
         mlp_h = int(h * cfg.mlp_ratio)
         b, s, _ = x.shape
 
-        mod = nn.Dense(3 * h, dtype=self.dtype, name="norm_linear")(nn.silu(vec))
+        mod = make_dense(cfg.quant_int8, 3 * h, dtype=self.dtype,
+                         name="norm_linear")(nn.silu(vec))
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         x_n = _modulate(
             nn.LayerNorm(
