@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--resolution", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)  # generate.py:80 fixed seed
     ap.add_argument("--max-examples", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="examples per pipeline call (noise stays per-example "
+                         "deterministic via fold_in(seed, example_idx))")
+    ap.add_argument("--shard", action="store_true",
+                    help="shard each batch over a data mesh of all visible "
+                         "devices (replaces the per-GPU mp.Process workers, "
+                         "edit_ppo/generate_ours.py:176-189)")
     args = ap.parse_args()
 
     from consolver_tpu.configs.config import ExperimentConfig, apply_overrides
@@ -76,29 +83,72 @@ def main():
         kind="clip", max_length=77,
     )
 
+    mesh = None
+    if args.shard:
+        from consolver_tpu.dist import mesh as meshlib
+
+        mesh = meshlib.make_mesh()
+        for attr in ("transformer_params", "t5_params", "clip_params",
+                     "vae_params", "factor_params"):
+            setattr(pipe, attr, meshlib.replicate(mesh, getattr(pipe, attr)))
+
     pairs = read_instruction_pairs(args.source)[: args.max_examples]
     if not pairs:
         raise SystemExit(f"no examples under {args.source}")
     os.makedirs(args.out, exist_ok=True)
-    for i, (img_path, instruction) in enumerate(pairs):
-        image = np.asarray(Image.open(img_path).convert("RGB"))
-        ref01 = center_crop_resize(image, resolution)
-        ref = jnp.asarray(ref01 * 2.0 - 1.0)[None]
-        t5_ids = jnp.asarray(tokenize_batch(t5_tok, [instruction], 128,
+
+    for start in range(0, len(pairs), args.batch_size):
+        chunk = pairs[start : start + args.batch_size]
+        idxs = list(range(start, start + len(chunk)))
+        # pad ragged final batches so one program serves every batch (and
+        # the mesh divides evenly); padded outputs are dropped
+        want = args.batch_size
+        if mesh is not None:
+            want = max(want, mesh.devices.size)
+            want += (-want) % mesh.devices.size
+        while len(chunk) < want:
+            chunk = chunk + [chunk[-1]]
+            idxs = idxs + [idxs[-1]]
+
+        refs01, instructions = [], []
+        for img_path, instruction in chunk:
+            image = np.asarray(Image.open(img_path).convert("RGB"))
+            refs01.append(center_crop_resize(image, resolution))
+            instructions.append(instruction)
+        ref = jnp.asarray(np.stack(refs01) * 2.0 - 1.0)
+        t5_ids = jnp.asarray(tokenize_batch(t5_tok, instructions, 128,
             vocab_size=pipe.t5.cfg.vocab_size))
-        clip_ids = jnp.asarray(tokenize_batch(clip_tok, [instruction], 77,
+        clip_ids = jnp.asarray(tokenize_batch(clip_tok, instructions, 77,
             vocab_size=pipe.clip.cfg.vocab_size))
-        key = jax.random.fold_in(jax.random.key(args.seed), i)
-        noise = jax.random.normal(key, (1, latent, latent, latent_ch))
+        # per-example deterministic noise, independent of batch size
+        noise = jnp.concatenate([
+            jax.random.normal(
+                jax.random.fold_in(jax.random.key(args.seed), i),
+                (1, latent, latent, latent_ch),
+            )
+            for i in idxs
+        ])
+        if mesh is not None:
+            from consolver_tpu.dist import mesh as meshlib
+
+            ref, t5_ids, clip_ids, noise = meshlib.shard_batch(
+                mesh, (ref, t5_ids, clip_ids, noise)
+            )
+        key = jax.random.fold_in(jax.random.key(args.seed), 10_000_000 + start)
         edited, _ = pipe(
             key, t5_ids, clip_ids, ref, noise,
             num_inference_steps=args.steps, guidance_scale=args.cfg,
             solver=args.solver,
         )
-        name = f"{i:05d}_" + "".join(
-            c if c.isalnum() else "_" for c in instruction[:40]
-        )
-        write_example(args.out, name, ref01, instruction, np.asarray(edited[0]))
+        edited = np.asarray(edited)
+        n_real = len(set(idxs))
+        for j in range(n_real):
+            i = idxs[j]
+            instruction = instructions[j]
+            name = f"{i:05d}_" + "".join(
+                c if c.isalnum() else "_" for c in instruction[:40]
+            )
+            write_example(args.out, name, refs01[j], instruction, edited[j])
     print(f"wrote {len(pairs)} examples to {args.out}")
 
 
