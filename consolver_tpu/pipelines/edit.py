@@ -80,6 +80,45 @@ class FluxKontextPipeline:
         )
         return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
 
+    def quantize(self) -> "FluxKontextPipeline":
+        """W8A8 int8 serving copy: DiT stream-block projections + modulation
+        and the VAE decoder run int8 (kernels/quant.py).  At flux_kontext
+        size this brings the 11.9B DiT to ~12GB — single-chip serving
+        (bf16 needs >= 2 chips + dist/tp).  Encoders stay float."""
+        import dataclasses as _dc
+
+        from consolver_tpu.kernels.quant import quantize_params_like
+        from consolver_tpu.models.flux import FluxTransformer
+        from consolver_tpu.models.vae import AutoencoderKL
+
+        cfg = self.transformer.cfg
+        qtr = FluxTransformer(_dc.replace(cfg, quant_int8=True),
+                              dtype=self.transformer.dtype)
+        s_img, s_txt = 8, 4
+        tshapes = jax.eval_shape(
+            qtr.init, jax.random.key(0),
+            jnp.zeros((1, s_img, cfg.in_channels)),
+            jnp.zeros((1, s_txt, cfg.joint_text_dim)),
+            jnp.zeros((1, cfg.pooled_text_dim)),
+            jnp.ones((1,)), jnp.ones((1,)),
+            jnp.zeros((s_img, 3)), jnp.zeros((s_txt, 3)),
+        )
+        qvae = AutoencoderKL(_dc.replace(self.vae.cfg, quant_int8=True),
+                             dtype=self.vae.dtype)
+        vshapes = jax.eval_shape(
+            qvae.init, jax.random.key(0),
+            jnp.zeros((1, 16, 16, self.vae.cfg.in_channels)), jax.random.key(1),
+        )
+        return FluxKontextPipeline(
+            qtr, quantize_params_like(tshapes, self.transformer_params),
+            self.t5, self.t5_params, self.clip, self.clip_params,
+            qvae, quantize_params_like(vshapes, self.vae_params),
+            fm_config=self.fm_config, factor_net=self.factor_net,
+            factor_params=self.factor_params,
+            vae_scaling_factor=self.vae_scaling_factor,
+            vae_shift_factor=self.vae_shift_factor,
+        )
+
     # ------------------------------------------------------------------
     def _velocity_fn(
         self, seq_len_target, img_ids, txt_ids, guidance_scale,

@@ -199,3 +199,48 @@ def test_quantized_flux_close_to_float():
     out = qmodel.apply(qparams, *args)
     rel = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-8))
     assert rel < 0.10, rel
+
+
+def test_pipeline_quantize_method():
+    """TextToImagePipeline.quantize(): one call converts the serving path;
+    preview stays close to the float pipeline on the same inputs."""
+    from tests.test_pipeline import make_tiny_stack
+    from consolver_tpu.core import schedules
+    from consolver_tpu.pipelines.t2i import TextToImagePipeline
+    from consolver_tpu.policy import FactorNet, FactorNetConfig
+
+    (unet, up), (te, tp), (vae, vp) = make_tiny_stack()
+    fnet = FactorNet(FactorNetConfig(order_dim=2, scaler_dim=0,
+                                     num_actions=11, family="sd"))
+    pipe = TextToImagePipeline(
+        unet, up, te, tp, vae, vp, schedules.DiffusionSchedule.sd15(),
+        factor_net=fnet, factor_params=fnet.init(jax.random.key(0)),
+    )
+    qpipe = pipe.quantize()
+    ids = jnp.ones((2, 4), jnp.int32)
+    noise = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    img_f, _ = pipe(jax.random.key(2), ids, noise, num_inference_steps=3)
+    img_q, _ = qpipe(jax.random.key(2), ids, noise, num_inference_steps=3)
+    assert img_q.shape == img_f.shape
+    mse = float(np.mean((np.asarray(img_q) - np.asarray(img_f)) ** 2))
+    assert mse < 1e-3, mse
+
+
+def test_edit_pipeline_quantize_method():
+    from tests.test_edit import pipe as pipe_fixture  # noqa: F401
+
+    # build the tiny edit pipeline directly (fixture is module-scoped there)
+    import tests.test_edit as te_mod
+
+    pipe = te_mod.pipe.__wrapped__()
+    qpipe = pipe.quantize()
+    t5_ids = jnp.ones((1, 4), jnp.int32)
+    clip_ids = jnp.ones((1, 4), jnp.int32)
+    ref = jnp.zeros((1, 16, 16, 3))
+    noise = jax.random.normal(jax.random.key(3), (1, 8, 8, 4))
+    out_f, _ = pipe(jax.random.key(4), t5_ids, clip_ids, ref, noise,
+                    num_inference_steps=2, solver="euler", decode=False)
+    out_q, _ = qpipe(jax.random.key(4), t5_ids, clip_ids, ref, noise,
+                     num_inference_steps=2, solver="euler", decode=False)
+    rel = float(jnp.linalg.norm(out_q - out_f) / (jnp.linalg.norm(out_f) + 1e-8))
+    assert rel < 0.15, rel
