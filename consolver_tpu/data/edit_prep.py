@@ -33,12 +33,19 @@ def center_crop_resize(image: np.ndarray, size: int) -> np.ndarray:
     return np.asarray(img, np.float32) / 255.0
 
 
-def read_instruction_pairs(root: str) -> List[Tuple[str, str]]:
-    """(image_path, instruction) pairs from either ``metadata.jsonl``
-    (kontext-bench style: {"image": ..., "instruction": ...}) or sidecar
-    .txt files next to images."""
+def read_instruction_records(root: str) -> List[dict]:
+    """``{"path", "instruction", "key"}`` records from either
+    ``metadata.jsonl`` or sidecar .txt files next to images.
+
+    Handles the real kontext-bench layout exactly as the reference does
+    (edit_ppo/generate_ours.py:18-19,50-63): entries carry ``file_name`` /
+    ``instruction`` / ``key``, and the image lives at
+    ``<root>/images/<basename(file_name)>``.  Generic layouts
+    ({"image"|"ref_image": ..., "instruction"|"prompt"|"edit": ...} with the
+    image relative to ``root``) keep working; entries whose image file does
+    not exist are skipped (generate_ours.py:62-64)."""
     jsonl = os.path.join(root, "metadata.jsonl")
-    pairs: List[Tuple[str, str]] = []
+    records: List[dict] = []
     if os.path.exists(jsonl):
         with open(jsonl) as f:
             for line in f:
@@ -47,16 +54,35 @@ def read_instruction_pairs(root: str) -> List[Tuple[str, str]]:
                 rec = json.loads(line)
                 img = rec.get("image") or rec.get("ref_image") or rec.get("file_name")
                 instr = rec.get("instruction") or rec.get("prompt") or rec.get("edit")
-                if img and instr:
-                    pairs.append((os.path.join(root, img), instr))
-        return pairs
+                if not (img and instr):
+                    continue
+                path = os.path.join(root, img)
+                if not os.path.exists(path):
+                    # kontext-bench: images/ subdir, basename only
+                    alt = os.path.join(root, "images", os.path.basename(img))
+                    if not os.path.exists(alt):
+                        continue
+                    path = alt
+                records.append(
+                    {"path": path, "instruction": instr, "key": rec.get("key")}
+                )
+        return records
     for f in sorted(os.listdir(root)):
         if f.lower().endswith((".png", ".jpg", ".jpeg")):
             txt = os.path.join(root, os.path.splitext(f)[0] + ".txt")
             if os.path.exists(txt):
                 with open(txt) as fh:
-                    pairs.append((os.path.join(root, f), fh.read().strip()))
-    return pairs
+                    records.append({
+                        "path": os.path.join(root, f),
+                        "instruction": fh.read().strip(),
+                        "key": None,
+                    })
+    return records
+
+
+def read_instruction_pairs(root: str) -> List[Tuple[str, str]]:
+    """(image_path, instruction) pairs — see :func:`read_instruction_records`."""
+    return [(r["path"], r["instruction"]) for r in read_instruction_records(root)]
 
 
 def prepare_edit_set(

@@ -657,13 +657,21 @@ class Ddim(BaselineSolver):
 # Builder registry + unrolled denoise loop
 # ---------------------------------------------------------------------------
 
-SOLVERS = ("ddim", "ipndm", "unipc", "deis", "multistep-dpm", "amed", "dmd2")
+SOLVERS = (
+    "ddim", "ipndm", "unipc", "deis", "multistep-dpm", "amed", "dmd2",
+    "sde-dpmsolver", "sde-dpmsolver++",
+)
 
 
 def make_solver(
-    name: str, schedule: schedules.DiffusionSchedule, num_steps: int
+    name: str,
+    schedule: schedules.DiffusionSchedule,
+    num_steps: int,
+    noise_key: Optional[jax.Array] = None,
 ) -> BaselineSolver:
-    """Instantiate a zoo solver by the reference's names (gen_ppo.py:118-169)."""
+    """Instantiate a zoo solver by the reference's names (gen_ppo.py:118-169).
+    The ``sde-*`` stochastic variants (the AMED plugin's algorithm_type
+    options, diffusers_amed_plugin_dpmpp.py:124-137) need ``noise_key``."""
     if name == "ddim":
         return Ddim(schedule, num_steps)
     if name == "dmd2":  # DDIM-trailing; pair with DMD2-distilled UNet weights
@@ -677,6 +685,11 @@ def make_solver(
     if name == "multistep-dpm":
         return DpmMultistep(
             schedule, num_steps, algorithm="dpmsolver", final_sigmas_type="sigma_min"
+        )
+    if name in ("sde-dpmsolver", "sde-dpmsolver++"):
+        return DpmMultistep(
+            schedule, num_steps, algorithm=name,
+            final_sigmas_type="sigma_min", noise_key=noise_key,
         )
     if name == "amed":
         return amed_solver(schedule, num_steps)
@@ -692,12 +705,15 @@ def make_baseline_denoise_fn(
 ):
     """Jitted unrolled denoise loop for a zoo solver: (unet_params, noise,
     context, uncond_context) -> final latents.  CFG-batched like the learnable
-    pipeline (pipelines/t2i.py)."""
+    pipeline (pipelines/t2i.py).  Stochastic ``sde-*`` solvers take an extra
+    leading ``key`` argument: (unet_params, key, noise, context, uncond)."""
     do_cfg = guidance_scale > 1.0
+    stochastic = solver_name.startswith("sde-")
 
-    @jax.jit
-    def denoise(unet_params, noise, context, uncond_context):
-        solver = make_solver(solver_name, schedule, num_inference_steps)
+    def _run(unet_params, noise, context, uncond_context, noise_key):
+        solver = make_solver(
+            solver_name, schedule, num_inference_steps, noise_key=noise_key
+        )
         x = jnp.asarray(noise, jnp.float32)
         batch = x.shape[0]
         if do_cfg:
@@ -717,5 +733,14 @@ def make_baseline_denoise_fn(
                 eps = unet_apply(unet_params, x, t_arr, context)
             x = solver.step(i, x, eps.astype(jnp.float32))
         return x
+
+    if stochastic:
+        @jax.jit
+        def denoise(unet_params, key, noise, context, uncond_context):
+            return _run(unet_params, noise, context, uncond_context, key)
+    else:
+        @jax.jit
+        def denoise(unet_params, noise, context, uncond_context):
+            return _run(unet_params, noise, context, uncond_context, None)
 
     return denoise

@@ -444,9 +444,18 @@ class TextToImagePipeline:
                     self._unet_apply, self.schedule, solver,
                     num_inference_steps, guidance_scale,
                 )
-                self._denoise_cache[key] = (
-                    lambda up, fp, k, noise, ctx, unc: (base(up, noise, ctx, unc), None)
-                )
+                if solver.startswith("sde-"):
+                    # stochastic variants thread the rollout key through to
+                    # the per-step variance noise
+                    self._denoise_cache[key] = (
+                        lambda up, fp, k, noise, ctx, unc: (
+                            base(up, k, noise, ctx, unc), None)
+                    )
+                else:
+                    self._denoise_cache[key] = (
+                        lambda up, fp, k, noise, ctx, unc: (
+                            base(up, noise, ctx, unc), None)
+                    )
         return self._denoise_cache[key]
 
     def padded_denoise_fn(

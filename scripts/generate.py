@@ -6,8 +6,9 @@
       [--pretrained ckpts/sd15] [--factor-ckpt runs/ppo/checkpoint-3000]
 
 Solvers: consistencysolver | ddim | ipndm | unipc | deis | multistep-dpm |
-amed | dmd2 (gen_ppo.py:118-169).  Smoke mode (no --pretrained) uses tiny
-random models.
+amed | dmd2 | sde-dpmsolver | sde-dpmsolver++ (gen_ppo.py:118-169 + the AMED
+plugin's stochastic algorithm_type options).  Smoke mode (no --pretrained)
+uses tiny random models.
 """
 
 from __future__ import annotations

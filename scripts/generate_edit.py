@@ -51,7 +51,10 @@ def main():
     args = ap.parse_args()
 
     from consolver_tpu.configs.config import ExperimentConfig, apply_overrides
-    from consolver_tpu.data.edit_prep import center_crop_resize, read_instruction_pairs
+    from consolver_tpu.data.edit_prep import (
+        center_crop_resize,
+        read_instruction_records,
+    )
     from consolver_tpu.data.tokenizer import load_tokenizer, tokenize_batch
     from consolver_tpu.eval.edit_scores import write_example
     from consolver_tpu.policy import FactorNet
@@ -92,7 +95,8 @@ def main():
                      "vae_params", "factor_params"):
             setattr(pipe, attr, meshlib.replicate(mesh, getattr(pipe, attr)))
 
-    pairs = read_instruction_pairs(args.source)[: args.max_examples]
+    records = read_instruction_records(args.source)[: args.max_examples]
+    pairs = [(r["path"], r["instruction"]) for r in records]
     if not pairs:
         raise SystemExit(f"no examples under {args.source}")
     os.makedirs(args.out, exist_ok=True)
@@ -145,8 +149,12 @@ def main():
         for j in range(n_real):
             i = idxs[j]
             instruction = instructions[j]
-            name = f"{i:05d}_" + "".join(
-                c if c.isalnum() else "_" for c in instruction[:40]
+            # kontext-bench entries name the output folder by their `key`
+            # (generate_ours.py:55,67); fall back to index+slug otherwise
+            name = records[i].get("key") or (
+                f"{i:05d}_" + "".join(
+                    c if c.isalnum() else "_" for c in instruction[:40]
+                )
             )
             write_example(args.out, name, refs01[j], instruction, edited[j])
     print(f"wrote {len(pairs)} examples to {args.out}")

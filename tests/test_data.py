@@ -71,3 +71,31 @@ class TestEditPrep:
         )
         pairs = read_instruction_pairs(str(tmp_path))
         assert len(pairs) == 1 and pairs[0][1] == "make it red"
+
+    def test_kontext_bench_layout(self, tmp_path):
+        """Real kontext-bench layout (edit_ppo/generate_ours.py:18-19,50-63):
+        metadata.jsonl with file_name/instruction/key, image under images/,
+        missing images skipped."""
+        from PIL import Image
+
+        from consolver_tpu.data.edit_prep import read_instruction_records
+
+        (tmp_path / "images").mkdir()
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+            tmp_path / "images" / "0001.jpg"
+        )
+        lines = [
+            {"file_name": "some/prefix/0001.jpg", "instruction": "add a hat",
+             "key": "k_0001"},
+            {"file_name": "missing.jpg", "instruction": "skip me", "key": "k2"},
+            {"file_name": "images/0001.jpg", "instruction": "no key"},
+        ]
+        (tmp_path / "metadata.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in lines) + "\n"
+        )
+        recs = read_instruction_records(str(tmp_path))
+        assert len(recs) == 2
+        assert recs[0]["key"] == "k_0001"
+        assert recs[0]["instruction"] == "add a hat"
+        assert os.path.exists(recs[0]["path"])
+        assert recs[1]["key"] is None  # generic entry falls back

@@ -167,6 +167,32 @@ def test_pipeline_zoo_solver_selection():
     assert not np.allclose(np.asarray(lat_u), np.asarray(lat_d))
 
 
+def test_pipeline_sde_solver_threads_key():
+    """sde-dpmsolver++ dispatches through the pipeline with the rollout key
+    feeding the per-step variance noise (AMED plugin algorithm_type options,
+    diffusers_amed_plugin_dpmpp.py:124-137)."""
+    (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()
+    sched = schedules.DiffusionSchedule.sd15()
+    pipe = TextToImagePipeline(
+        unet, unet_params, te, te_params, vae, vae_params, sched
+    )
+    ids = jnp.ones((1, 4), jnp.int32)
+    noise = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+
+    def run(key):
+        lat, traj = pipe(
+            jax.random.key(key), ids, noise, num_inference_steps=4,
+            solver="sde-dpmsolver++", decode=False,
+        )
+        assert traj is None
+        return np.asarray(lat)
+
+    a, b, a2 = run(1), run(2), run(1)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert not np.allclose(a, b)  # different rollout keys -> different noise
+    np.testing.assert_allclose(a, a2)  # same key reproduces
+
+
 def test_v_prediction_pipeline():
     """prediction_type='v_prediction' flows from the schedule through the
     jitted denoise (scheduler_ppo.py:316-318)."""
