@@ -30,4 +30,8 @@ jax.config.update("jax_platforms", "cpu")
 if os.environ.get("CONSOLVER_JAX_CACHE", "1") != "0":
     _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_compilation_cache")
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # persist EVERYTHING: the suite dispatches hundreds of small eager ops
+    # (flax inits, host-side schedule math) whose compiles are individually
+    # <0.5s but sum to ~40% of some tests; caching them is a big win on the
+    # single-core CI box
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -16,7 +16,7 @@ def test_tiny_forward():
     cfg = DepthAnythingConfig.tiny()
     model = DepthAnything(cfg)
     x = jnp.zeros((2, 28, 28, 3))
-    params = model.init(jax.random.key(0), x)
+    params = jax.jit(model.init)(jax.random.key(0), x)
     depth = model.apply(params, x)
     assert depth.shape == (2, 28, 28)
     assert bool(jnp.isfinite(depth).all())
@@ -43,7 +43,7 @@ def test_depth_reward_integration():
 
     cfg = DepthAnythingConfig.tiny()
     model = DepthAnything(cfg)
-    params = model.init(jax.random.key(0), jnp.zeros((1, 28, 28, 3)))
+    params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 28, 28, 3)))
     reward_fn = make_reward_fn("depth", RewardModel(depth=make_depth_fn(model, params)))
     rng = np.random.default_rng(1)
     pred = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))

@@ -23,20 +23,20 @@ def pipe():
     t5_cfg = T5Config(vocab_size=64, d_model=fcfg.joint_text_dim, d_kv=8,
                       d_ff=64, num_layers=1, num_heads=4)
     t5 = T5Encoder(t5_cfg)
-    t5_params = t5.init(keys[0], jnp.zeros((1, s_txt), jnp.int32))
+    t5_params = jax.jit(t5.init)(keys[0], jnp.zeros((1, s_txt), jnp.int32))
 
     clip_cfg = ClipTextConfig(vocab_size=64, hidden_size=fcfg.pooled_text_dim,
                               num_layers=1, num_heads=2, intermediate_size=32)
     clip = ClipTextEncoder(clip_cfg)
-    clip_params = clip.init(keys[1], jnp.zeros((1, s_txt), jnp.int32))
+    clip_params = jax.jit(clip.init)(keys[1], jnp.zeros((1, s_txt), jnp.int32))
 
     vae = AutoencoderKL(VaeConfig(block_out_channels=(8, 16), layers_per_block=1,
                                   norm_num_groups=4, latent_channels=4))
-    vae_params = vae.init(keys[2], jnp.zeros((1, 16, 16, 3)), keys[3])
+    vae_params = jax.jit(vae.init)(keys[2], jnp.zeros((1, 16, 16, 3)), keys[3])
 
     img_ids = jnp.zeros((img.shape[1], 3))
     txt_ids = jnp.zeros((s_txt, 3))
-    tr_params = transformer.init(
+    tr_params = jax.jit(transformer.init)(
         keys[4], img, jnp.zeros((b, s_txt, fcfg.joint_text_dim)),
         jnp.zeros((b, fcfg.pooled_text_dim)), jnp.ones((b,)), jnp.ones((b,)),
         img_ids, txt_ids,

@@ -82,7 +82,7 @@ class TestFluxModel:
         cfg = FluxConfig.tiny()
         model = FluxTransformer(cfg)
         args = self._tiny_inputs(cfg)
-        params = model.init(jax.random.key(0), *args)
+        params = jax.jit(model.init)(jax.random.key(0), *args)
         out = jax.jit(model.apply)(params, *args)
         assert out.shape == (2, 16, cfg.in_channels)
         assert bool(jnp.isfinite(out).all())
@@ -103,7 +103,7 @@ class TestFluxModel:
         )
         txt = jnp.zeros((b, 4, cfg.joint_text_dim))
         pooled = jnp.zeros((b, cfg.pooled_text_dim))
-        params = model.init(
+        params = jax.jit(model.init)(
             jax.random.key(0), img, txt, pooled, jnp.ones((b,)), jnp.ones((b,)),
             img_ids, jnp.zeros((4, 3)),
         )
@@ -125,7 +125,7 @@ class TestFluxModel:
         cfg = FluxConfig.tiny()
         model = FluxTransformer(cfg)
         args = self._tiny_inputs(cfg)
-        params = model.init(jax.random.key(0), *args)
+        params = jax.jit(model.init)(jax.random.key(0), *args)
         a = model.apply(params, *args)
         args2 = list(args)
         args2[4] = jnp.full((2,), 7.5)
@@ -153,7 +153,7 @@ class TestT5:
         cfg = T5Config.tiny()
         enc = T5Encoder(cfg)
         ids = jnp.zeros((2, 10), jnp.int32)
-        params = enc.init(jax.random.key(0), ids)
+        params = jax.jit(enc.init)(jax.random.key(0), ids)
         out = enc.apply(params, ids)
         assert out.shape == (2, 10, cfg.d_model)
 

@@ -26,7 +26,7 @@ def test_forward_runs():
     # pure CPU execution; structure is covered by the param-count test
     model = InceptionV3()
     x = jnp.zeros((1, 127, 127, 3))
-    params = model.init(jax.random.key(0), x)
+    params = jax.jit(model.init)(jax.random.key(0), x)
     feats = model.apply(params, x)
     assert feats.shape == (1, 2048)
     assert bool(jnp.isfinite(feats).all())
@@ -36,7 +36,7 @@ def test_reward_integration():
     from consolver_tpu.rewards.registry import RewardModel, make_reward_fn
 
     model = InceptionV3()
-    params = model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+    params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
     encode = make_inception_encoder(model, params)
     reward_fn = make_reward_fn("inception", RewardModel(encode=encode))
     img = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3)), jnp.float32)

@@ -20,7 +20,7 @@ class TestUNet:
         x = jnp.zeros((2, 16, 16, 4))
         t = jnp.asarray([999, 500])
         ctx = jnp.zeros((2, 8, cfg.cross_attention_dim))
-        params = model.init(jax.random.key(0), x, t, ctx)
+        params = jax.jit(model.init)(jax.random.key(0), x, t, ctx)
         out = jax.jit(model.apply)(params, x, t, ctx)
         assert out.shape == (2, 16, 16, 4)
         assert bool(jnp.isfinite(out).all())
@@ -43,7 +43,7 @@ class TestUNet:
         model = UNet2DCondition(cfg)
         x = jnp.ones((1, 8, 8, 4))
         ctx = jnp.ones((1, 4, cfg.cross_attention_dim))
-        params = model.init(jax.random.key(0), x, jnp.asarray([0]), ctx)
+        params = jax.jit(model.init)(jax.random.key(0), x, jnp.asarray([0]), ctx)
         a = model.apply(params, x, jnp.asarray([0]), ctx)
         b = model.apply(params, x, jnp.asarray([999]), ctx)
         assert not np.allclose(np.asarray(a), np.asarray(b))
@@ -52,7 +52,7 @@ class TestUNet:
         cfg = UNetConfig.tiny()
         model = UNet2DCondition(cfg)
         x = jnp.ones((1, 8, 8, 4))
-        params = model.init(
+        params = jax.jit(model.init)(
             jax.random.key(0), x, jnp.asarray([10]), jnp.ones((1, 4, cfg.cross_attention_dim))
         )
         a = model.apply(params, x, jnp.asarray([10]), jnp.ones((1, 4, cfg.cross_attention_dim)))
@@ -65,7 +65,7 @@ class TestVae:
         cfg = VaeConfig.tiny()
         vae = AutoencoderKL(cfg)
         x = jnp.zeros((2, 16, 16, 3))
-        params = vae.init(jax.random.key(0), x, jax.random.key(1))
+        params = jax.jit(vae.init)(jax.random.key(0), x, jax.random.key(1))
         mean, logvar = vae.apply(params, x, method=vae.encode)
         assert mean.shape == (2, 8, 8, cfg.latent_channels)
         assert logvar.shape == mean.shape
@@ -84,7 +84,7 @@ class TestVae:
         cfg = VaeConfig.tiny()
         vae = AutoencoderKL(cfg)
         x = jnp.zeros((1, 16, 16, 3))
-        params = vae.init(jax.random.key(0), x, jax.random.key(1))
+        params = jax.jit(vae.init)(jax.random.key(0), x, jax.random.key(1))
         z = jax.random.normal(jax.random.key(2), (1, 8, 8, 4)) * cfg.scaling_factor
         img = decode_latents(vae, params, z)
         assert img.shape == (1, 16, 16, 3)
@@ -96,7 +96,7 @@ class TestClip:
         cfg = ClipTextConfig.tiny()
         enc = ClipTextEncoder(cfg)
         ids = jnp.zeros((2, 77), jnp.int32)
-        params = enc.init(jax.random.key(0), ids)
+        params = jax.jit(enc.init)(jax.random.key(0), ids)
         out = enc.apply(params, ids)
         assert out.shape == (2, 77, cfg.hidden_size)
 
@@ -112,7 +112,7 @@ class TestClip:
         enc = ClipTextEncoder(cfg)
         ids_a = jnp.asarray([[1, 2, 3, 4]])
         ids_b = jnp.asarray([[1, 2, 3, 999]])
-        params = enc.init(jax.random.key(0), ids_a)
+        params = jax.jit(enc.init)(jax.random.key(0), ids_a)
         out_a = enc.apply(params, ids_a)
         out_b = enc.apply(params, ids_b)
         np.testing.assert_allclose(

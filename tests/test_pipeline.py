@@ -13,19 +13,21 @@ from tests.reference_emulator import ddim_update_np
 
 
 def make_tiny_stack(key=0):
+    # jit the inits: eager flax init dispatches hundreds of individually
+    # compiled ops; one traced program per model hits the persistent cache
     kk = jax.random.split(jax.random.key(key), 4)
     ucfg = UNetConfig.tiny()
     unet = UNet2DCondition(ucfg)
-    unet_params = unet.init(
+    unet_params = jax.jit(unet.init)(
         kk[0], jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, 4, ucfg.cross_attention_dim)),
     )
     tcfg = ClipTextConfig.tiny()
     te = ClipTextEncoder(tcfg)
-    te_params = te.init(kk[1], jnp.zeros((1, 4), jnp.int32))
+    te_params = jax.jit(te.init)(kk[1], jnp.zeros((1, 4), jnp.int32))
     vcfg = VaeConfig.tiny()
     vae = AutoencoderKL(vcfg)
-    vae_params = vae.init(kk[2], jnp.zeros((1, 16, 16, 3)), kk[3])
+    vae_params = jax.jit(vae.init)(kk[2], jnp.zeros((1, 16, 16, 3)), kk[3])
     return (unet, unet_params), (te, te_params), (vae, vae_params)
 
 

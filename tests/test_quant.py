@@ -58,7 +58,7 @@ def test_int8_modules_match_functional():
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
     dense = nn.Dense(8)
-    params = dense.init(jax.random.key(0), x)
+    params = jax.jit(dense.init)(jax.random.key(0), x)
     qdense = Int8Dense(8)
     qshapes = jax.eval_shape(qdense.init, jax.random.key(0), x)
     qparams = quantize_params_like(qshapes, params)
@@ -70,7 +70,7 @@ def test_int8_modules_match_functional():
 
     xc = jnp.asarray(rng.standard_normal((2, 6, 6, 8)).astype(np.float32))
     conv = nn.Conv(12, (3, 3), strides=(2, 2), padding="VALID")
-    cparams = conv.init(jax.random.key(1), xc)
+    cparams = jax.jit(conv.init)(jax.random.key(1), xc)
     qconv = Int8Conv(12, (3, 3), strides=(2, 2), padding="VALID")
     qcshapes = jax.eval_shape(qconv.init, jax.random.key(1), xc)
     qcparams = quantize_params_like(qcshapes, cparams)
@@ -90,7 +90,7 @@ def test_quantized_tiny_unet_close_to_float():
     x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
     t = jnp.asarray([10, 500], jnp.int32)
     ctx = jax.random.normal(jax.random.key(1), (2, 4, cfg.cross_attention_dim))
-    params = unet.init(jax.random.key(2), x, t, ctx)
+    params = jax.jit(unet.init)(jax.random.key(2), x, t, ctx)
     ref = unet.apply(params, x, t, ctx)
 
     qcfg = UNetConfig.tiny()
@@ -135,7 +135,7 @@ def test_quantized_vae_decoder_close_to_float():
     cfg = VaeConfig.tiny()
     vae = AutoencoderKL(cfg)
     z = jax.random.normal(jax.random.key(0), (2, 8, 8, cfg.latent_channels))
-    params = vae.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)), jax.random.key(2))
+    params = jax.jit(vae.init)(jax.random.key(1), jnp.zeros((1, 16, 16, 3)), jax.random.key(2))
     ref = vae.apply(params, z, method=vae.decode)
 
     qcfg = VaeConfig(**{**cfg.__dict__, "quant_int8": True})
@@ -189,7 +189,7 @@ def test_quantized_flux_close_to_float():
     img_ids = jnp.zeros((s_img, 3))
     txt_ids = jnp.zeros((s_txt, 3))
     args = (img, txt, pooled, t, g, img_ids, txt_ids)
-    params = model.init(jax.random.key(3), *args)
+    params = jax.jit(model.init)(jax.random.key(3), *args)
     ref = model.apply(params, *args)
 
     qcfg = FluxConfig(**{**cfg.__dict__, "quant_int8": True})

@@ -15,7 +15,7 @@ def test_tiny_forward():
     cfg = SegformerConfig.tiny()
     model = Segformer(cfg)
     x = jnp.zeros((2, 32, 32, 3))
-    params = model.init(jax.random.key(0), x)
+    params = jax.jit(model.init)(jax.random.key(0), x)
     logits = model.apply(params, x)
     assert logits.shape == (2, 8, 8, cfg.num_labels)
     assert bool(jnp.isfinite(logits).all())
@@ -36,7 +36,7 @@ def test_segmentation_reward_integration():
 
     cfg = SegformerConfig.tiny()
     model = Segformer(cfg)
-    params = model.init(jax.random.key(0), jnp.zeros((1, 512, 512, 3)))
+    params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 512, 512, 3)))
     reward_fn = make_reward_fn(
         "segmentation", RewardModel(segment=make_segment_fn(model, params))
     )

@@ -210,7 +210,11 @@ class TestZooPipeline:
             const_eps_apply(e0), SCHED, name, steps, guidance_scale=3.0
         )
         noise = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
-        out = denoise(None, noise, jnp.zeros((1, 4, 8)), jnp.zeros((1, 4, 8)))
+        ctx = jnp.zeros((1, 4, 8))
+        if name.startswith("sde-"):  # stochastic: leading key argument
+            out = denoise(None, jax.random.key(1), noise, ctx, ctx)
+        else:
+            out = denoise(None, noise, ctx, ctx)
         assert out.shape == noise.shape
         assert bool(jnp.isfinite(out).all())
 

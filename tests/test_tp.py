@@ -22,7 +22,7 @@ def _tiny_flux():
     g = jnp.full((b,), 2.5)
     img_ids = flux.latent_image_ids(8, 8)
     txt_ids = jnp.zeros((s_txt, 3))
-    params = model.init(jax.random.key(0), img, txt, pooled, t, g, img_ids, txt_ids)
+    params = jax.jit(model.init)(jax.random.key(0), img, txt, pooled, t, g, img_ids, txt_ids)
     img = jax.random.normal(jax.random.key(3), img.shape)
     return model, params, (img, txt, pooled, t, g, img_ids, txt_ids)
 

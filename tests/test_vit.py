@@ -25,7 +25,7 @@ class TestViT:
         cfg = ViTConfig.tiny()
         model = ViT(cfg)
         x = jnp.zeros((2, 28, 28, 3))
-        params = model.init(jax.random.key(0), x)
+        params = jax.jit(model.init)(jax.random.key(0), x)
         hidden = model.apply(params, x)
         assert hidden.shape == (2, 1 + 4, cfg.hidden_size)
         feats = model.apply(params, x, method=model.features)
@@ -61,7 +61,7 @@ class TestViT:
     def test_reward_integration(self):
         cfg = ViTConfig.tiny()
         model = ViT(cfg)
-        params = model.init(jax.random.key(0), jnp.zeros((1, 28, 28, 3)))
+        params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 28, 28, 3)))
         encode = make_encoder(model, params, kind="dino")
         reward_fn = make_reward_fn("dino", RewardModel(encode=encode))
         rng = np.random.default_rng(0)
