@@ -174,9 +174,29 @@ class AutoencoderKL(nn.Module):
         return self.decode(z), mean, logvar
 
 
-def decode_latents(vae: AutoencoderKL, params, latents, scaling_factor=None):
-    """Scaled-latents -> images in [0, 1]  (reference utils.py:6-34, but one
-    whole-batch fused call instead of a micro-batched python loop)."""
+def decode_latents(vae: AutoencoderKL, params, latents, scaling_factor=None,
+                   chunk=None):
+    """Scaled-latents -> images in [0, 1]  (reference utils.py:6-34).
+
+    ``chunk=None`` decodes the whole batch in one fused call (fastest when
+    it fits).  ``chunk=k`` is the TPU-native micro-batched decode — a
+    ``lax.map`` over [B/k] chunks inside one program, bounding decoder
+    activation memory to one chunk (the reference's python loop over
+    micro-batches of 8, utils.py:6-34; needed for the production batch-80
+    PPO step where an 80x512^2 whole-batch decode overflows one chip's HBM).
+    Requires ``B % chunk == 0``."""
     sf = scaling_factor if scaling_factor is not None else vae.cfg.scaling_factor
-    img = vae.apply(params, latents / sf, method=vae.decode)
+    x = latents / sf
+    if chunk is None or x.shape[0] <= chunk:
+        img = vae.apply(params, x, method=vae.decode)
+    else:
+        if x.shape[0] % chunk:
+            raise ValueError(
+                f"batch {x.shape[0]} not divisible by decode chunk {chunk}"
+            )
+        xc = x.reshape(x.shape[0] // chunk, chunk, *x.shape[1:])
+        img = jax.lax.map(
+            lambda c: vae.apply(params, c, method=vae.decode), xc
+        )
+        img = img.reshape(x.shape[0], *img.shape[2:])
     return jnp.clip(img / 2 + 0.5, 0.0, 1.0)

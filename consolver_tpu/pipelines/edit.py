@@ -72,12 +72,24 @@ class FluxKontextPipeline:
         mean, _ = self.vae.apply(self.vae_params, image, method=self.vae.encode)
         return (mean - self.vae_shift_factor) * self.vae_scaling_factor
 
-    def decode_latents(self, latents):
-        img = self.vae.apply(
-            self.vae_params,
-            latents / self.vae_scaling_factor + self.vae_shift_factor,
-            method=self.vae.decode,
-        )
+    def decode_latents(self, latents, chunk=None):
+        """``chunk=k`` micro-batches the decode inside one program via
+        ``lax.map`` (see models/vae.decode_latents) — bounds decoder
+        activation HBM at large train/serving batches."""
+        x = latents / self.vae_scaling_factor + self.vae_shift_factor
+        if chunk is None or x.shape[0] <= chunk:
+            img = self.vae.apply(self.vae_params, x, method=self.vae.decode)
+        else:
+            if x.shape[0] % chunk:
+                raise ValueError(
+                    f"batch {x.shape[0]} not divisible by decode chunk {chunk}"
+                )
+            xc = x.reshape(x.shape[0] // chunk, chunk, *x.shape[1:])
+            img = jax.lax.map(
+                lambda c: self.vae.apply(self.vae_params, c, method=self.vae.decode),
+                xc,
+            )
+            img = img.reshape(x.shape[0], *img.shape[2:])
         return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
 
     def quantize(self) -> "FluxKontextPipeline":

@@ -53,6 +53,11 @@ class TrainConfig:
     # train steps.  Production runs 3001 steps (run_ppo.sh), so per-count is
     # the default; turn this on for short runs/sweeps (< ~1300 steps).
     padded_rollout: bool = False
+    # micro-batch the VAE decodes inside the jitted reward program (lax.map
+    # over chunks — the reference decodes in micro-batches of 8,
+    # utils.py:6-34).  None = whole-batch fused decode; the production
+    # batch-80 512^2 step needs a chunk (whole-batch OOMs one 16GB chip).
+    decode_chunk: Optional[int] = None
     ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
 
 
@@ -104,8 +109,11 @@ class PPOTrainer(CheckpointMixin):
 
     # ------------------------------------------------------------------
     def _decode_and_reward_impl(self, vae_params, pred_latents, target_latents):
-        pred = decode_latents(self.pipe.vae, vae_params, pred_latents)
-        target = decode_latents(self.pipe.vae, vae_params, target_latents)
+        chunk = self.config.decode_chunk
+        pred = decode_latents(self.pipe.vae, vae_params, pred_latents, chunk=chunk)
+        target = decode_latents(
+            self.pipe.vae, vae_params, target_latents, chunk=chunk
+        )
         rewards = self.reward_fn(pred, target)
         adv = ppo.group_advantages(
             rewards.reshape(-1), self.config.ppo.advantage_scale

@@ -141,8 +141,9 @@ class EditPPOTrainer(CheckpointMixin):
             guidance_scale=cfg.guidance_scale, solver="fmppo", decode=False,
         )
 
-        pred_img = self.pipe.decode_latents(latents)
-        target_img = self.pipe.decode_latents(target)
+        chunk = cfg.decode_chunk
+        pred_img = self.pipe.decode_latents(latents, chunk=chunk)
+        target_img = self.pipe.decode_latents(target, chunk=chunk)
         base_img = self.pipe.decode_latents(base_latents)
 
         rewards = self.reward_fn(pred_img, target_img).reshape(-1)

@@ -90,6 +90,30 @@ class TestVae:
         assert img.shape == (1, 16, 16, 3)
         assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
 
+    def test_decode_latents_chunked_matches_whole_batch(self):
+        """lax.map micro-batched decode == whole-batch decode (the
+        reference's micro-batches of 8, utils.py:6-34); bad chunk raises."""
+        import numpy as np
+        import pytest
+
+        cfg = VaeConfig.tiny()
+        vae = AutoencoderKL(cfg)
+        x = jnp.zeros((1, 16, 16, 3))
+        params = jax.jit(vae.init)(jax.random.key(0), x, jax.random.key(1))
+        z = jax.random.normal(jax.random.key(2), (6, 8, 8, 4)) * cfg.scaling_factor
+        whole = decode_latents(vae, params, z)
+        chunked = decode_latents(vae, params, z, chunk=2)
+        np.testing.assert_allclose(
+            np.asarray(whole), np.asarray(chunked), rtol=1e-5, atol=1e-5
+        )
+        # chunk >= batch falls back to the fused whole-batch call
+        np.testing.assert_allclose(
+            np.asarray(decode_latents(vae, params, z, chunk=8)),
+            np.asarray(whole), rtol=1e-6,
+        )
+        with pytest.raises(ValueError):
+            decode_latents(vae, params, z, chunk=4)
+
 
 class TestClip:
     def test_forward_shape(self):
