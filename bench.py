@@ -143,9 +143,11 @@ def quality_psnr(preview_a, params_a, vae_a, preview_b, params_b, vae_b, fparams
     import jax
     import jax.numpy as jnp
 
-    noise = jax.random.normal(jax.random.key(40), (4, HEIGHT, WIDTH, 4))
-    ctx = jax.random.normal(jax.random.key(41), (4, 77, 768), jnp.bfloat16)
-    unc = jax.random.normal(jax.random.key(42), (4, 77, 768), jnp.bfloat16)
+    # batch 8 = the first timed shape, so the gate reuses the same compiled
+    # programs instead of paying two extra ~2-min remote compiles at batch 4
+    noise = jax.random.normal(jax.random.key(40), (8, HEIGHT, WIDTH, 4))
+    ctx = jax.random.normal(jax.random.key(41), (8, 77, 768), jnp.bfloat16)
+    unc = jax.random.normal(jax.random.key(42), (8, 77, 768), jnp.bfloat16)
     key = jax.random.key(43)
     img_a = np.asarray(
         preview_a(params_a, vae_a, fparams, key, noise, ctx, unc), np.float32
@@ -184,8 +186,11 @@ def main():
         k: v for k, v in results.items()
         if isinstance(v, float) and (k.startswith("bf16") or int8_ok)
     }
-    best_key = max(candidates, key=candidates.get)
-    best = candidates[best_key]
+    if candidates:
+        best_key = max(candidates, key=candidates.get)
+        best = candidates[best_key]
+    else:  # every eligible config failed — still emit the JSON line
+        best_key, best = "none", 0.0
 
     print(
         json.dumps(

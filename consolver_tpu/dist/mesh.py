@@ -46,6 +46,36 @@ def make_mesh(
     return Mesh(arr, tuple(axis_names))
 
 
+def make_hybrid_mesh(
+    ici_shape: Tuple[int, ...],
+    dcn_shape: Tuple[int, ...],
+    axis_names: Sequence[str] = (DATA_AXIS, MODEL_AXIS),
+) -> Mesh:
+    """Multi-slice (DCN) mesh: per-slice ICI submeshes stitched over the
+    data-center network, so intra-axis collectives ride ICI within a slice
+    and only the leading (data) axis crosses DCN — the layout the scaling
+    playbook prescribes for multi-slice data parallelism.
+
+    ``ici_shape``/``dcn_shape`` multiply elementwise to the global device
+    count (e.g. 2 slices of v5e-8 as dp x tp: ici=(1, 8), dcn=(2, 1)).
+    On a single-slice (or CPU-virtual) topology where devices carry no
+    slice index, falls back to a plain :func:`make_mesh` of the same total
+    shape — same program, same shardings, no DCN axis to optimize."""
+    from jax.experimental import mesh_utils
+
+    try:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            ici_shape, dcn_shape, devices=jax.devices()
+        )
+        return Mesh(devices, tuple(axis_names))
+    except (ValueError, AssertionError, KeyError):
+        shape = tuple(i * d for i, d in zip(ici_shape, dcn_shape))
+        return make_mesh(
+            num_devices=int(np.prod(shape)), axis_shape=shape,
+            axis_names=axis_names,
+        )
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(axis))

@@ -174,29 +174,34 @@ class AutoencoderKL(nn.Module):
         return self.decode(z), mean, logvar
 
 
+def chunked_apply(fn, x, chunk):
+    """Apply ``fn`` over [chunk]-sized batch slices via one in-program
+    ``lax.map`` — the TPU-native micro-batch loop (reference utils.py:6-34),
+    bounding ``fn``'s activation memory to one chunk.  Ragged batches are
+    padded to a chunk multiple and sliced back (the reference's python loop
+    handles the tail the same way).  ``chunk=None`` or ``chunk >= B`` is one
+    fused whole-batch call."""
+    b = x.shape[0]
+    if chunk is None or b <= chunk:
+        return fn(x)
+    pad = (-b) % chunk
+    if pad:
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+    xc = x.reshape((b + pad) // chunk, chunk, *x.shape[1:])
+    out = jax.lax.map(fn, xc)
+    return out.reshape(b + pad, *out.shape[2:])[:b]
+
+
 def decode_latents(vae: AutoencoderKL, params, latents, scaling_factor=None,
                    chunk=None):
     """Scaled-latents -> images in [0, 1]  (reference utils.py:6-34).
 
     ``chunk=None`` decodes the whole batch in one fused call (fastest when
-    it fits).  ``chunk=k`` is the TPU-native micro-batched decode — a
-    ``lax.map`` over [B/k] chunks inside one program, bounding decoder
-    activation memory to one chunk (the reference's python loop over
-    micro-batches of 8, utils.py:6-34; needed for the production batch-80
-    PPO step where an 80x512^2 whole-batch decode overflows one chip's HBM).
-    Requires ``B % chunk == 0``."""
+    it fits).  ``chunk=k`` micro-batches the decode via :func:`chunked_apply`
+    — needed for the production batch-80 PPO step where an 80x512^2
+    whole-batch decode overflows one chip's HBM."""
     sf = scaling_factor if scaling_factor is not None else vae.cfg.scaling_factor
-    x = latents / sf
-    if chunk is None or x.shape[0] <= chunk:
-        img = vae.apply(params, x, method=vae.decode)
-    else:
-        if x.shape[0] % chunk:
-            raise ValueError(
-                f"batch {x.shape[0]} not divisible by decode chunk {chunk}"
-            )
-        xc = x.reshape(x.shape[0] // chunk, chunk, *x.shape[1:])
-        img = jax.lax.map(
-            lambda c: vae.apply(params, c, method=vae.decode), xc
-        )
-        img = img.reshape(x.shape[0], *img.shape[2:])
+    img = chunked_apply(
+        lambda c: vae.apply(params, c, method=vae.decode), latents / sf, chunk
+    )
     return jnp.clip(img / 2 + 0.5, 0.0, 1.0)

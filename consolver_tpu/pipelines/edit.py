@@ -73,23 +73,16 @@ class FluxKontextPipeline:
         return (mean - self.vae_shift_factor) * self.vae_scaling_factor
 
     def decode_latents(self, latents, chunk=None):
-        """``chunk=k`` micro-batches the decode inside one program via
-        ``lax.map`` (see models/vae.decode_latents) — bounds decoder
-        activation HBM at large train/serving batches."""
+        """``chunk=k`` micro-batches the decode inside one program
+        (models/vae.chunked_apply) — bounds decoder activation HBM at large
+        train/serving batches."""
+        from consolver_tpu.models.vae import chunked_apply
+
         x = latents / self.vae_scaling_factor + self.vae_shift_factor
-        if chunk is None or x.shape[0] <= chunk:
-            img = self.vae.apply(self.vae_params, x, method=self.vae.decode)
-        else:
-            if x.shape[0] % chunk:
-                raise ValueError(
-                    f"batch {x.shape[0]} not divisible by decode chunk {chunk}"
-                )
-            xc = x.reshape(x.shape[0] // chunk, chunk, *x.shape[1:])
-            img = jax.lax.map(
-                lambda c: self.vae.apply(self.vae_params, c, method=self.vae.decode),
-                xc,
-            )
-            img = img.reshape(x.shape[0], *img.shape[2:])
+        img = chunked_apply(
+            lambda c: self.vae.apply(self.vae_params, c, method=self.vae.decode),
+            x, chunk,
+        )
         return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
 
     def quantize(self) -> "FluxKontextPipeline":
@@ -259,9 +252,16 @@ class FluxKontextPipeline:
             true_cfg_scale=true_cfg_scale if do_true_cfg else None,
         )
         if do_true_cfg:
-            neg_embeds, neg_pooled = self.encode_prompt(
-                neg_t5_ids, neg_clip_ids if neg_clip_ids is not None else neg_t5_ids
-            )
+            if neg_clip_ids is None:
+                # T5 ids are NOT valid CLIP ids (different tokenizer/vocab/
+                # length) — silently reusing them would corrupt the negative
+                # pooled embedding; the reference tokenizes the negative
+                # prompt separately per encoder (edit_ppo/pipeline.py:417-436)
+                raise ValueError(
+                    "true-CFG needs neg_clip_ids alongside neg_t5_ids "
+                    "(tokenize the negative prompt with BOTH tokenizers)"
+                )
+            neg_embeds, neg_pooled = self.encode_prompt(neg_t5_ids, neg_clip_ids)
             cond = (prompt_embeds, pooled, neg_embeds, neg_pooled, ref_tokens)
         else:
             cond = (prompt_embeds, pooled, ref_tokens)

@@ -50,6 +50,27 @@ class CheckpointMixin:
             raise
         return self.params
 
+    @staticmethod
+    def _local_numpy(tree):
+        """Materialize a (replicated) array tree to host numpy.  Each host's
+        addressable shard of a fully-replicated array holds the complete
+        value, so this needs no collective — which is what makes the
+        process-0-only orbax save below correct on multi-host meshes
+        (saving non-fully-addressable jax.Arrays from one process would
+        otherwise raise/hang in orbax's coordinated-save path).  Valid
+        because the trained state here is the tiny replicated factor net +
+        optimizer (the reference saves the DDP-replicated state dict the
+        same way, train_ppo.py:174-190)."""
+        import jax
+        import numpy as np
+
+        def to_np(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return np.asarray(x.addressable_data(0))
+            return np.asarray(x) if isinstance(x, jax.Array) else x
+
+        return jax.tree.map(to_np, tree)
+
     def save_checkpoint(self) -> str:
         import jax
         import orbax.checkpoint as ocp
@@ -57,19 +78,17 @@ class CheckpointMixin:
         path = os.path.abspath(
             os.path.join(self.config.output_dir, f"checkpoint-{self.global_step}")
         )
-        # multi-host: params/opt_state are replicated, so only process 0
-        # writes (every host racing on the same orbax dir corrupts it)
+        payload = {
+            "params": self._local_numpy(self.params),
+            "opt_state": self._local_numpy(self.opt_state),
+            "global_step": self.global_step,
+        }
+        # multi-host: state is replicated (materialized locally above), so
+        # only process 0 writes (every host racing on the same orbax dir
+        # corrupts it)
         if jax.process_index() != 0:
             return path
-        ocp.PyTreeCheckpointer().save(
-            path,
-            {
-                "params": self.params,
-                "opt_state": self.opt_state,
-                "global_step": self.global_step,
-            },
-            force=True,
-        )
+        ocp.PyTreeCheckpointer().save(path, payload, force=True)
         self._enforce_total_limit()
         return path
 
@@ -125,9 +144,10 @@ class CheckpointMixin:
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(output_dir, "factor_net"))
+        payload = self._local_numpy(self.params)
         if jax.process_index() != 0:
             return path
-        ocp.PyTreeCheckpointer().save(path, self.params, force=True)
+        ocp.PyTreeCheckpointer().save(path, payload, force=True)
         net = self.pipe.factor_net
         cfg = getattr(net, "config", None)
         if cfg is not None:

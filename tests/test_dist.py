@@ -167,3 +167,14 @@ def test_trainer_with_mesh_matches_single_device(tmp_path):
     # the DP trainer's params really live replicated on all 8 devices
     some = jax.tree.leaves(t_dp.params)[0]
     assert len(some.sharding.device_set) == 8
+
+
+def test_hybrid_mesh_falls_back_on_single_slice():
+    """make_hybrid_mesh: on a topology with no DCN slices (this CPU-virtual
+    platform) it must fall back to a plain mesh of the same global shape and
+    still drive a sharded computation."""
+    m = meshlib.make_hybrid_mesh(ici_shape=(1, 4), dcn_shape=(2, 1))
+    assert m.shape == {"data": 2, "model": 4}
+    x = meshlib.shard_batch(m, jnp.arange(8.0).reshape(2, 4))
+    got = jax.jit(lambda v: (v * 2).sum())(x)
+    assert float(got) == float(jnp.arange(8.0).sum() * 2)
