@@ -70,9 +70,9 @@ def make_vlm_judge(
     return judge
 
 
-def load_transformers_judge(model_path: str, device: str = "cpu"):
-    """Load a local vision-language judge through transformers (LLaVA-class
-    'image-text-to-text' checkpoints).  Requires the checkpoint on local
+def load_transformers_generate_fn(model_path: str, device: str = "cpu"):
+    """Two-image generation callable from a local transformers checkpoint
+    (LLaVA-class 'image-text-to-text').  Requires the checkpoint on local
     disk — judges are multi-billion-param hub models the reference also
     loads externally (reward_model.py:67-87)."""
     from transformers import AutoModelForImageTextToText, AutoProcessor
@@ -107,4 +107,49 @@ def load_transformers_judge(model_path: str, device: str = "cpu"):
         gen = out[0][inputs["input_ids"].shape[1] :]
         return processor.batch_decode(gen[None], skip_special_tokens=True)[0].strip()
 
-    return make_vlm_judge(generate_fn)
+    return generate_fn
+
+
+def load_transformers_judge(model_path: str, device: str = "cpu"):
+    """Similarity judge (rewards) from a local checkpoint — the llava/qwen_vl
+    reward types (reward_model.py:164-214,259-317)."""
+    return make_vlm_judge(load_transformers_generate_fn(model_path, device))
+
+
+# EditScore-style instruction-following prompt (the role of the external
+# EditScore/EditReward scorers, edit_ppo/compute_score.py — 0-10 scale like
+# the published EditScore column, assets/flux-kontext.png).
+_EDIT_PROMPT = (
+    "The first image is the original and the second is an edited version "
+    'following the instruction: "{instruction}". Rate from 0 to 10 how well '
+    "the edit fulfils the instruction while preserving everything else. "
+    "Provide only the numerical score."
+)
+
+
+def make_edit_scorer(
+    generate_fn: Callable[[np.ndarray, np.ndarray, str], str],
+    max_retries: int = 5,
+    fallback_score: float = 5.0,
+):
+    """(ref_image01, instruction, edited_image01) -> 0-10 score, pluggable
+    into eval.edit_scores.score_results; retry-with-fallback like the
+    similarity judges."""
+
+    def scorer(ref: np.ndarray, instruction: str, edited: np.ndarray) -> float:
+        prompt = _EDIT_PROMPT.format(instruction=instruction)
+        for _ in range(max_retries):
+            try:
+                score = parse_score(generate_fn(ref, edited, prompt))
+                if score is not None:
+                    return float(np.clip(score, 0.0, 10.0))
+            except Exception:
+                continue
+        return fallback_score
+
+    return scorer
+
+
+def load_transformers_edit_scorer(model_path: str, device: str = "cpu"):
+    """Local-checkpoint EditScore stand-in for score_results."""
+    return make_edit_scorer(load_transformers_generate_fn(model_path, device))

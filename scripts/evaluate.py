@@ -6,6 +6,8 @@ equivalent).
       --reference results/teacher40 --reward image_psnr --out stats.json
   python scripts/evaluate.py fid --generated results/ours8 \
       --reference coco/val2017 --encoder-ckpt ckpts/inception
+  python scripts/evaluate.py edit-score --results results/edits5 \
+      --judge-ckpt ckpts/llava --out edit_stats.json
 """
 
 from __future__ import annotations
@@ -41,7 +43,31 @@ def main():
     f.add_argument("--encoder-ckpt", default=None)
     f.add_argument("--batch-size", type=int, default=32)
 
+    e = sub.add_parser(
+        "edit-score",
+        help="score folder-per-example edit results with a local VLM "
+        "(EditScore stand-in, edit_ppo/compute_score.py)",
+    )
+    e.add_argument("--results", required=True,
+                   help="dir of generate_edit.py outputs")
+    e.add_argument("--judge-ckpt", required=True,
+                   help="local transformers image-text-to-text checkpoint")
+    e.add_argument("--device", default="cpu")
+    e.add_argument("--out", default=None)
+
     args = ap.parse_args()
+
+    if args.cmd == "edit-score":
+        from consolver_tpu.eval.edit_scores import score_results
+        from consolver_tpu.rewards.vlm import load_transformers_edit_scorer
+
+        stats = score_results(
+            args.results,
+            load_transformers_edit_scorer(args.judge_ckpt, args.device),
+            output_json=args.out,
+        )
+        print(stats)
+        return
 
     from consolver_tpu.eval.consistency import evaluate_consistency, pair_images, _load_image
     from consolver_tpu.rewards.registry import RewardModel, make_reward_fn

@@ -58,69 +58,14 @@ class TestVlmJudge:
         assert len(SIMILARITY_DIMENSIONS) == 4
 
     @pytest.mark.slow
-    def test_transformers_judge_end_to_end(self, tmp_path):
+    def test_transformers_judge_end_to_end(self, tiny_llava_ckpt):
         """Drive load_transformers_judge against a real (tiny, random-weight)
         local LLaVA checkpoint: validates the whole transformers glue — chat
         template, two-image batching, generate, decode slice, retry+fallback
         (reward_model.py:67-87,164-214)."""
-        torch = pytest.importorskip("torch")
-        from transformers import (
-            CLIPImageProcessor,
-            CLIPVisionConfig,
-            LlamaConfig,
-            LlavaConfig,
-            LlavaForConditionalGeneration,
-            LlavaProcessor,
-            PreTrainedTokenizerFast,
-        )
-        from tokenizers import Tokenizer, models, pre_tokenizers
-
         from consolver_tpu.rewards.vlm import load_transformers_judge
 
-        vocab = {f"tok{i}": i for i in range(90)}
-        vocab.update({"<unk>": 90, "<s>": 91, "</s>": 92, "50": 93, "0": 94,
-                      "1": 95, "ASSISTANT": 96, ":": 97, "score": 98,
-                      ".": 99, "<image>": 100})
-        tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
-        tok.pre_tokenizer = pre_tokenizers.Whitespace()
-        t = PreTrainedTokenizerFast(
-            tokenizer_object=tok, unk_token="<unk>", bos_token="<s>",
-            eos_token="</s>", pad_token="</s>",
-        )
-        t.add_tokens(["<image>"])
-        t.model_input_names = ["input_ids", "attention_mask"]
-
-        vcfg = CLIPVisionConfig(
-            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
-            num_attention_heads=2, image_size=32, patch_size=16,
-        )
-        tcfg = LlamaConfig(
-            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
-            num_attention_heads=2, vocab_size=128, max_position_embeddings=512,
-        )
-        cfg = LlavaConfig(
-            vision_config=vcfg, text_config=tcfg,
-            image_token_index=t.convert_tokens_to_ids("<image>"),
-        )
-        torch.manual_seed(0)
-        model = LlavaForConditionalGeneration(cfg)
-        chat = (
-            "{% for message in messages %}{% for c in message['content'] %}"
-            "{% if c['type']=='image' %}<image>{% elif c['type']=='text' %}"
-            "{{ c['text'] }}{% endif %}{% endfor %}{% endfor %}"
-            "{% if add_generation_prompt %}ASSISTANT:{% endif %}"
-        )
-        proc = LlavaProcessor(
-            image_processor=CLIPImageProcessor(
-                size={"shortest_edge": 32}, crop_size={"height": 32, "width": 32}
-            ),
-            tokenizer=t, chat_template=chat, patch_size=16,
-        )
-        ckpt = str(tmp_path / "tiny_llava")
-        model.save_pretrained(ckpt)
-        proc.save_pretrained(ckpt)
-
-        judge = load_transformers_judge(ckpt)
+        judge = load_transformers_judge(tiny_llava_ckpt)
         rng = np.random.default_rng(0)
         scores = judge(
             rng.uniform(size=(2, 32, 32, 3)).astype(np.float32),
@@ -129,6 +74,45 @@ class TestVlmJudge:
         assert scores.shape == (2,)
         assert np.isfinite(scores).all()
         assert (scores >= 0).all() and (scores <= 100).all()
+
+    def test_edit_scorer_retry_and_clamp(self):
+        texts = iter(["garbage", "Score: 12", "7.5"])
+
+        def generate(ref, edited, prompt):
+            assert "bluer" in prompt  # instruction threaded into the prompt
+            return next(texts)
+
+        from consolver_tpu.rewards.vlm import make_edit_scorer
+
+        scorer = make_edit_scorer(generate, max_retries=3)
+        # first call: "garbage" unparseable -> retries -> "Score: 12" -> clamp 10
+        assert scorer(np.zeros((4, 4, 3)), "make it bluer", np.zeros((4, 4, 3))) == 10.0
+        assert scorer(np.zeros((4, 4, 3)), "make it bluer", np.zeros((4, 4, 3))) == 7.5
+
+        def always_bad(ref, edited, prompt):
+            raise RuntimeError("boom")
+
+        assert make_edit_scorer(always_bad, max_retries=2)(
+            np.zeros((4, 4, 3)), "x", np.zeros((4, 4, 3))
+        ) == 5.0
+
+    @pytest.mark.slow
+    def test_transformers_edit_scorer_scores_results(self, tiny_llava_ckpt, tmp_path):
+        """Full local EditScore chain: folder-per-example results scored by
+        a transformers VLM scorer (the role of the external EditScore repos,
+        edit_ppo/compute_score.py)."""
+        from consolver_tpu.rewards.vlm import load_transformers_edit_scorer
+
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            write_example(
+                str(tmp_path), f"ex{i}", rng.random((32, 32, 3)),
+                f"add a red hat {i}", rng.random((32, 32, 3)),
+            )
+        scorer = load_transformers_edit_scorer(tiny_llava_ckpt)
+        stats = score_results(str(tmp_path), scorer)
+        assert stats["num_scored"] == 2
+        assert 0.0 <= stats["mean"] <= 10.0
 
 
 class TestEditScores:
