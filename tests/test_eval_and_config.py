@@ -186,3 +186,65 @@ class TestTeacherGen:
         np.testing.assert_allclose(sample["latent"], sample["noise"] * 0.5)
         batch = next(ds.batches(4))
         assert batch["noise"].shape == (4, 2, 2, 4)
+
+
+@pytest.mark.slow
+def test_generate_edit_cli_kontext_layout(tmp_path, monkeypatch):
+    """scripts/generate_edit.py smoke e2e on the real kontext-bench layout:
+    metadata.jsonl (file_name/key/images-subdir) -> key-named folder-per-
+    example results consumable by the EditScore harness
+    (edit_ppo/generate_ours.py:18-19,50-67)."""
+    import json as _json
+    import sys
+
+    from PIL import Image
+
+    src = tmp_path / "bench"
+    (src / "images").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (24, 24, 3), dtype=np.uint8), "RGB"
+        ).save(src / "images" / f"{i}.jpg")
+        lines.append({"file_name": f"x/{i}.jpg", "instruction": f"edit {i}",
+                      "key": f"key_{i:03d}"})
+    (src / "metadata.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in lines) + "\n"
+    )
+
+    out = tmp_path / "results"
+    monkeypatch.setattr(sys, "argv", [
+        "generate_edit.py", "--source", str(src), "--out", str(out),
+        "--solver", "euler", "--steps", "2", "--batch-size", "2",
+    ])
+    import scripts.generate_edit as ge
+
+    ge.main()
+
+    from consolver_tpu.eval.edit_scores import list_examples, score_results
+
+    dirs = list_examples(str(out))
+    assert len(dirs) == 2
+    assert sorted(d.split("/")[-1] for d in dirs) == ["key_000", "key_001"]
+    stats = score_results(str(out), lambda ref, instr, edited: 5.0)
+    assert stats["num_scored"] == 2
+
+
+@pytest.mark.slow
+def test_generate_cli_sde_smoke(tmp_path, monkeypatch):
+    """scripts/generate.py smoke e2e with the stochastic sde-dpmsolver++
+    zoo solver (gen_ppo.py driver equivalent + AMED plugin algorithm_type)."""
+    import sys
+
+    out = tmp_path / "results"
+    monkeypatch.setattr(sys, "argv", [
+        "generate.py", "--solver", "sde-dpmsolver++", "--steps", "3",
+        "--out", str(out), "--max-prompts", "2", "--batch-size", "2",
+    ])
+    import scripts.generate as g
+
+    g.main()
+    import glob
+
+    assert len(glob.glob(str(out / "*.png"))) == 2
