@@ -19,6 +19,7 @@ preview on identical noise, else the bf16 number is reported.  Batch is
 swept (8, 16) and the best passing configuration wins.
 """
 
+import dataclasses
 import json
 import time
 
@@ -67,7 +68,7 @@ def build(quant: bool):
     unet_params = random_params_like(shapes, 1, jnp.bfloat16)
 
     if quant:
-        qcfg = UNetConfig(**{**ucfg.__dict__, "quant_int8": True})
+        qcfg = dataclasses.replace(ucfg, quant_int8=True)
         unet = UNet2DCondition(qcfg, dtype=jnp.bfloat16)
         qshapes = jax.eval_shape(
             unet.init, jax.random.key(0), jnp.zeros((1, HEIGHT, WIDTH, 4)),
@@ -85,7 +86,7 @@ def build(quant: bool):
     vae_params = random_params_like(vae_shapes, 2, jnp.bfloat16)
     if quant:
         vae = AutoencoderKL(
-            VaeConfig(**{**vcfg.__dict__, "quant_int8": True}), dtype=jnp.bfloat16
+            dataclasses.replace(vcfg, quant_int8=True), dtype=jnp.bfloat16
         )
         qvshapes = jax.eval_shape(
             vae.init, jax.random.key(0), jnp.zeros((1, 512, 512, 3)),

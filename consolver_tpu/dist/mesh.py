@@ -76,6 +76,12 @@ def make_hybrid_mesh(
         )
 
 
+def data_axis_size(mesh: Mesh, axis: str = DATA_AXIS) -> int:
+    """Number of shards along the data axis — the multiple batch sizes must
+    pad to before :func:`shard_batch`."""
+    return int(mesh.shape.get(axis, 1))
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(axis))

@@ -53,11 +53,7 @@ def _score_batch(reward_fn, gen: np.ndarray, ref: np.ndarray, mesh) -> np.ndarra
     from consolver_tpu.dist import mesh as meshlib
 
     n = gen.shape[0]
-    n_data = int(np.prod([
-        s for s, name in zip(mesh.devices.shape, mesh.axis_names)
-        if name == meshlib.DATA_AXIS
-    ]))
-    pad = (-n) % n_data
+    pad = (-n) % meshlib.data_axis_size(mesh)
     if pad:
         gen = np.concatenate([gen, np.repeat(gen[-1:], pad, axis=0)])
         ref = np.concatenate([ref, np.repeat(ref[-1:], pad, axis=0)])

@@ -21,8 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from consolver_tpu.kernels.attention import attention as attention_op
-from consolver_tpu.models.layers import make_dense
-from consolver_tpu.models.layers import timestep_embedding
+from consolver_tpu.models.layers import make_dense, timestep_embedding
 
 
 @dataclasses.dataclass(frozen=True)

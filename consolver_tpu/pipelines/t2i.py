@@ -18,6 +18,7 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from consolver_tpu.core import schedules, solver
 from consolver_tpu.policy.factor_net import FactorNet
@@ -184,8 +185,6 @@ def padded_ladder(
     )
     prev_ts = ts - schedule.num_train_timesteps // num_inference_steps
     pad = max_steps - num_inference_steps
-    import numpy as np
-
     ts_p = np.concatenate([ts, np.repeat(ts[-1:], pad)])
     prev_p = np.concatenate([prev_ts, np.repeat(prev_ts[-1:], pad)])
     valid = np.concatenate([np.ones(num_inference_steps), np.zeros(pad)])

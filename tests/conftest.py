@@ -44,7 +44,6 @@ import pytest  # noqa: E402
 def tiny_llava_ckpt(tmp_path_factory):
     """A real (tiny, random-weight) local LLaVA checkpoint: the drive target
     for the transformers VLM-judge glue (rewards/vlm.py)."""
-    import numpy as np  # noqa: F401
     import torch
     from tokenizers import Tokenizer, models, pre_tokenizers
     from transformers import (
