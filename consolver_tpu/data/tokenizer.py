@@ -9,7 +9,7 @@ hash tokenizer backs tests and smoke runs in zero-egress environments.
 from __future__ import annotations
 
 import hashlib
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 

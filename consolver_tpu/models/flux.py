@@ -14,7 +14,7 @@ the Kontext editing pipeline (edit_ppo/pipeline.py:589-609,660-741).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

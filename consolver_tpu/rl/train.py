@@ -20,12 +20,11 @@ import dataclasses
 import os
 import random
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from consolver_tpu.data.group import repeat_random_sample
 from consolver_tpu.models.vae import decode_latents

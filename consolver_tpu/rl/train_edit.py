@@ -19,7 +19,6 @@ trainer (rl/train.py), reproduced from the reference:
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import random
 from typing import Callable, Dict, Optional
