@@ -65,3 +65,84 @@ def generate_teacher_set(
                 save_png(os.path.join(output_dir, f"sanity_{idx:03d}.png"), images[j])
             written += 1
     return written
+
+
+def generate_edit_teacher_set(
+    denoise_fn: Callable[..., jax.Array],
+    tokenize: Callable[[Sequence[str]], tuple],
+    prepared_dir: str,
+    output_dir: str,
+    noise_shape: Sequence[int],
+    batch_size: int = 1,
+    seed: int = 42,
+    decode_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    save_sanity_images: int = 10,
+    max_samples: Optional[int] = None,
+) -> int:
+    """FLUX edit teacher generation (edit_pretrain/generate.py:34-144): for
+    each prepared sample (``{i}.npz`` with ref_image [-1,1] + instruction,
+    from data.edit_prep.prepare_edit_set), run the full-step teacher solver
+    from a per-example deterministic noise (fixed seed 42, generate.py:80)
+    and save the edit training sample the trainer consumes
+    (rl/train_edit.train_step batch keys): noise / latent / ref_image /
+    t5_ids / clip_ids (+ instruction for provenance).
+
+    ``denoise_fn(key, noise, t5_ids, clip_ids, ref_image) -> final latents``
+    (unpacked [B, h, w, C] — our canonical latent layout; the reference
+    stores packed tokens).  ``tokenize(instructions) -> (t5_ids, clip_ids)``.
+    NaN samples are dropped.  Returns the number of samples written."""
+    os.makedirs(output_dir, exist_ok=True)
+    files = sorted(f for f in os.listdir(prepared_dir) if f.endswith(".npz"))
+    files = files[:max_samples]
+    if not files:
+        raise FileNotFoundError(f"No prepared .npz samples under {prepared_dir}")
+    base = jax.random.key(seed)
+    written = 0
+    for start in range(0, len(files), batch_size):
+        chunk = files[start : start + batch_size]
+        refs, instructions = [], []
+        for f in chunk:
+            with np.load(os.path.join(prepared_dir, f)) as z:
+                refs.append(np.asarray(z["ref_image"], np.float32))
+                instructions.append(str(z["instruction"]))
+        ref = jnp.asarray(np.stack(refs))
+        t5_ids, clip_ids = tokenize(instructions)
+        t5_ids = jnp.asarray(t5_ids)
+        clip_ids = jnp.asarray(clip_ids)
+        # per-example deterministic noise, independent of batching
+        noise = jnp.concatenate([
+            jax.random.normal(
+                jax.random.fold_in(base, start + j), (1, *noise_shape), jnp.float32
+            )
+            for j in range(len(chunk))
+        ])
+        latents = np.asarray(
+            denoise_fn(jax.random.fold_in(base, 10_000_000 + start), noise,
+                       t5_ids, clip_ids, ref)
+        )
+        images = (
+            np.asarray(decode_fn(jnp.asarray(latents)))
+            if decode_fn is not None and written < save_sanity_images
+            else None
+        )
+        for j in range(len(chunk)):
+            if np.isnan(latents[j]).any():
+                continue
+            idx = start + j
+            np.savez(
+                os.path.join(output_dir, f"{idx:06d}.npz"),
+                noise=np.asarray(noise[j]),
+                latent=latents[j],
+                ref_image=refs[j],
+                t5_ids=np.asarray(t5_ids[j]),
+                clip_ids=np.asarray(clip_ids[j]),
+                instruction=np.asarray(instructions[j]),
+            )
+            if images is not None and idx < save_sanity_images:
+                from consolver_tpu.eval.gen_sweep import save_png
+
+                save_png(
+                    os.path.join(output_dir, f"sanity_{idx:03d}.png"), images[j]
+                )
+            written += 1
+    return written

@@ -99,3 +99,77 @@ class TestEditPrep:
         assert recs[0]["instruction"] == "add a hat"
         assert os.path.exists(recs[0]["path"])
         assert recs[1]["key"] is None  # generic entry falls back
+
+
+@pytest.mark.slow
+def test_edit_teacher_chain_feeds_trainer(tmp_path):
+    """Full FLUX data pipeline (edit_pretrain prepare_data.py + generate.py):
+    prepare (ref, instruction) -> full-step edit teacher rollout ->
+    TeacherDataset batches -> EditPPOTrainer.train_step."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from consolver_tpu.data.group import TeacherDataset
+    from consolver_tpu.data.teacher_gen import generate_edit_teacher_set
+    from consolver_tpu.rewards.registry import make_reward_fn
+    from consolver_tpu.rl.ppo import PPOConfig
+    from consolver_tpu.rl.train import TrainConfig
+    from consolver_tpu.rl.train_edit import EditPPOTrainer
+    from tests.test_edit import pipe as _  # noqa: F401 (fixture registration)
+
+    # source images + sidecar instructions -> prepared npz
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, (20, 20, 3), dtype=np.uint8), "RGB"
+        ).save(src / f"im{i}.png")
+        (src / f"im{i}.txt").write_text(f"make it {i}")
+    prepared = tmp_path / "prepared"
+    assert prepare_edit_set(str(src), str(prepared), resolution=16) == 3
+
+    # tiny pipe (same construction as the edit tests)
+    from tests.test_edit import pipe as pipe_fixture  # noqa: F401
+
+    request_pipe = pipe_fixture.__wrapped__()  # call the undecorated fixture fn
+    vae_factor = 2 ** (len(request_pipe.vae.cfg.block_out_channels) - 1)
+    latent = 16 // vae_factor
+
+    def tokenize(instructions):
+        b = len(instructions)
+        return (np.ones((b, 4), np.int32), np.ones((b, 4), np.int32))
+
+    def teacher_denoise(key, noise, t5_ids, clip_ids, ref):
+        latents, _ = request_pipe(
+            key, t5_ids, clip_ids, ref, noise, num_inference_steps=3,
+            guidance_scale=2.5, solver="euler", decode=False,
+        )
+        return latents
+
+    teacher = tmp_path / "teacher"
+    n = generate_edit_teacher_set(
+        teacher_denoise, tokenize, str(prepared), str(teacher),
+        noise_shape=(latent, latent, 4), batch_size=2, seed=42,
+        decode_fn=request_pipe.decode_latents, save_sanity_images=1,
+    )
+    assert n == 3
+    import glob
+    assert glob.glob(str(teacher / "sanity_*.png"))
+
+    ds = TeacherDataset(str(teacher))
+    batch = next(ds.batches(batch_size=3))
+    assert set(batch) >= {"noise", "latent", "ref_image", "t5_ids", "clip_ids"}
+    assert batch["ref_image"].shape == (3, 16, 16, 3)
+
+    trainer = EditPPOTrainer(
+        request_pipe, make_reward_fn("image_psnr"),
+        TrainConfig(min_inference_steps=2, max_inference_steps=3,
+                    output_dir=str(tmp_path / "run"),
+                    ppo=PPOConfig(ppo_epochs=1)),
+    )
+    metrics = trainer.train_step(
+        {k: v for k, v in batch.items() if k != "instruction"}
+    )
+    assert np.isfinite(metrics["loss"]) and np.isfinite(metrics["reward"])
