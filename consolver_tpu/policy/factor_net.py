@@ -43,6 +43,11 @@ class FactorNetConfig:
     mu_dim: int = 0
     use_conv: bool = False  # cosine-similarity features of the eps history
     family: str = "sd"  # "sd" | "fm"
+    # Beyond-reference knob: override the family's softmax temperature
+    # (sd=1.0, fm=0.01).  The FM production sharpness makes the initial
+    # random-init policy near-deterministic (almost no exploration) — useful
+    # to soften for toy-scale learning studies (scripts/learning_check_edit).
+    temperature_override: "Optional[float]" = None
 
     @property
     def action_dims(self) -> int:
@@ -58,6 +63,8 @@ class FactorNetConfig:
 
     @property
     def temperature(self) -> float:
+        if self.temperature_override is not None:
+            return self.temperature_override
         return 1.0 if self.family == "sd" else 0.01
 
     @property
