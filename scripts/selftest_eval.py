@@ -112,19 +112,19 @@ def main():
 
     work = args.workdir or tempfile.mkdtemp(prefix="consolver_selftest_eval_")
     src, ckpts, out = (os.path.join(work, d) for d in ("src", "ckpts", "out"))
-    print(f"[1/5] synthesizing tiny hub-layout checkpoints under {src}")
+    print(f"[1/8] synthesizing tiny hub-layout checkpoints under {src}")
     synthesize_sources(src)
 
     from scripts import convert_checkpoints, evaluate, generate
 
-    print("[2/5] converting via scripts/convert_checkpoints.py")
+    print("[2/8] converting via scripts/convert_checkpoints.py")
     for kind in ("unet", "vae", "clip_text"):
         run_cli(convert_checkpoints, [
             "--kind", kind, "--src", os.path.join(src, kind),
             "--dst", os.path.join(ckpts, kind), "--config", "tiny",
         ])
 
-    print("[3/5] generating teacher + preview sweeps via scripts/generate.py")
+    print("[3/8] generating teacher + preview sweeps via scripts/generate.py")
     common = ["--pretrained", ckpts, "--latent-size", "8", "--max-prompts", "8",
               "--batch-size", "4"]
     run_cli(generate, ["--solver", "multistep-dpm", "--steps", "12",
@@ -132,7 +132,7 @@ def main():
     run_cli(generate, ["--solver", "consistencysolver", "--steps", "3",
                        "--out", os.path.join(out, "ours")] + common)
 
-    print("[4/5] consistency stats via scripts/evaluate.py")
+    print("[4/8] consistency stats via scripts/evaluate.py")
     stats_path = os.path.join(out, "stats.json")
     run_cli(evaluate, ["consistency", "--generated", os.path.join(out, "ours"),
                        "--reference", os.path.join(out, "teacher"),
@@ -143,11 +143,58 @@ def main():
     assert stats["num_errors"] == 0, stats
     assert np.isfinite(stats["mean"]), stats
 
-    print("[5/5] FID smoke via scripts/evaluate.py fid")
+    print("[5/8] FID smoke via scripts/evaluate.py fid")
     run_cli(evaluate, ["fid", "--generated", os.path.join(out, "ours"),
                        "--reference", os.path.join(out, "teacher")])
 
-    print("\nSELFTEST EVAL: PASS — full chain convert -> generate -> evaluate")
+    # ---- FLUX edit chain (edit_pretrain + generate_ours + EditScore) ----
+    from PIL import Image
+
+    from scripts import generate_edit, generate_teacher
+
+    print("[6/8] edit data prep + edit teacher via generate_teacher.py --family flux")
+    edit_src = os.path.join(work, "edit_src")
+    os.makedirs(edit_src, exist_ok=True)
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (24, 24, 3), dtype=np.uint8), "RGB"
+        ).save(os.path.join(edit_src, f"im{i}.png"))
+        with open(os.path.join(edit_src, f"im{i}.txt"), "w") as f:
+            f.write(f"make it bluer {i}")
+    from consolver_tpu.data.edit_prep import prepare_edit_set
+
+    edit_prep = os.path.join(work, "edit_prepared")
+    assert prepare_edit_set(edit_src, edit_prep, resolution=16) == 2
+    run_cli(generate_teacher, [
+        "--family", "flux", "--source", edit_prep,
+        "--out", os.path.join(out, "edit_teacher"), "--steps", "2",
+        "--batch-size", "2",
+    ])
+    import glob
+
+    assert len(glob.glob(os.path.join(out, "edit_teacher", "*.npz"))) == 2
+
+    print("[7/8] edit benchmark generation via scripts/generate_edit.py")
+    run_cli(generate_edit, [
+        "--source", edit_src, "--out", os.path.join(out, "edits"),
+        "--solver", "euler", "--steps", "2", "--batch-size", "2",
+    ])
+
+    print("[8/8] EditScore via scripts/evaluate.py edit-score (tiny local VLM)")
+    from tests.vlm_fixtures import build_tiny_llava
+
+    judge = build_tiny_llava(os.path.join(work, "tiny_llava"))
+    edit_stats_path = os.path.join(out, "edit_stats.json")
+    run_cli(evaluate, ["edit-score", "--results", os.path.join(out, "edits"),
+                       "--judge-ckpt", judge, "--out", edit_stats_path])
+    with open(edit_stats_path) as f:
+        estats = json.load(f)
+    assert estats["num_scored"] == 2, estats
+    assert 0.0 <= estats["mean"] <= 10.0, estats
+
+    print("\nSELFTEST EVAL: PASS — full chain convert -> generate -> evaluate"
+          " (SD) + prepare -> teacher -> edit-generate -> edit-score (FLUX)")
     print("With real checkpoints, the BASELINE.md reproduction is:")
     print("  python scripts/convert_checkpoints.py --kind unet --src <hub>/unet --dst ckpts/sd15/unet")
     print("  python scripts/convert_checkpoints.py --kind vae --src <hub>/vae --dst ckpts/sd15/vae")

@@ -44,58 +44,6 @@ import pytest  # noqa: E402
 def tiny_llava_ckpt(tmp_path_factory):
     """A real (tiny, random-weight) local LLaVA checkpoint: the drive target
     for the transformers VLM-judge glue (rewards/vlm.py)."""
-    import torch
-    from tokenizers import Tokenizer, models, pre_tokenizers
-    from transformers import (
-        CLIPImageProcessor,
-        CLIPVisionConfig,
-        LlamaConfig,
-        LlavaConfig,
-        LlavaForConditionalGeneration,
-        LlavaProcessor,
-        PreTrainedTokenizerFast,
-    )
+    from tests.vlm_fixtures import build_tiny_llava
 
-    vocab = {f"tok{i}": i for i in range(90)}
-    vocab.update({"<unk>": 90, "<s>": 91, "</s>": 92, "50": 93, "0": 94,
-                  "1": 95, "ASSISTANT": 96, ":": 97, "score": 98,
-                  ".": 99, "<image>": 100})
-    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
-    tok.pre_tokenizer = pre_tokenizers.Whitespace()
-    t = PreTrainedTokenizerFast(
-        tokenizer_object=tok, unk_token="<unk>", bos_token="<s>",
-        eos_token="</s>", pad_token="</s>",
-    )
-    t.add_tokens(["<image>"])
-    t.model_input_names = ["input_ids", "attention_mask"]
-
-    vcfg = CLIPVisionConfig(
-        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
-        num_attention_heads=2, image_size=32, patch_size=16,
-    )
-    tcfg = LlamaConfig(
-        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
-        num_attention_heads=2, vocab_size=128, max_position_embeddings=512,
-    )
-    cfg = LlavaConfig(
-        vision_config=vcfg, text_config=tcfg,
-        image_token_index=t.convert_tokens_to_ids("<image>"),
-    )
-    torch.manual_seed(0)
-    model = LlavaForConditionalGeneration(cfg)
-    chat = (
-        "{% for message in messages %}{% for c in message['content'] %}"
-        "{% if c['type']=='image' %}<image>{% elif c['type']=='text' %}"
-        "{{ c['text'] }}{% endif %}{% endfor %}{% endfor %}"
-        "{% if add_generation_prompt %}ASSISTANT:{% endif %}"
-    )
-    proc = LlavaProcessor(
-        image_processor=CLIPImageProcessor(
-            size={"shortest_edge": 32}, crop_size={"height": 32, "width": 32}
-        ),
-        tokenizer=t, chat_template=chat, patch_size=16,
-    )
-    ckpt = str(tmp_path_factory.mktemp("vlm") / "tiny_llava")
-    model.save_pretrained(ckpt)
-    proc.save_pretrained(ckpt)
-    return ckpt
+    return build_tiny_llava(str(tmp_path_factory.mktemp("vlm") / "tiny_llava"))
