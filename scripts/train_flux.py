@@ -40,11 +40,32 @@ def build_pipeline(cfg, factor_net, factor_params):
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
     pretrained = cfg.model.pretrained_path
     if pretrained:
-        transformer = FluxTransformer(FluxConfig.flux_kontext(), dtype=dtype)
-        t5 = T5Encoder(T5Config.xxl(), dtype=dtype)
-        clip = ClipTextEncoder(ClipTextConfig.sd15(), dtype=dtype)
+        from scripts.train_sd15 import load_model_config
+
+        # per-component _config.json (convert_checkpoints.py) overrides the
+        # full-size defaults — also how int8 serving checkpoints
+        # (quantize_checkpoint.py writes quant_int8: true) load directly
+        transformer = FluxTransformer(
+            load_model_config(os.path.join(pretrained, "transformer"),
+                              FluxConfig, FluxConfig.flux_kontext()),
+            dtype=dtype,
+        )
+        t5 = T5Encoder(
+            load_model_config(os.path.join(pretrained, "t5"), T5Config,
+                              T5Config.xxl()),
+            dtype=dtype,
+        )
+        clip = ClipTextEncoder(
+            load_model_config(os.path.join(pretrained, "clip_text"),
+                              ClipTextConfig, ClipTextConfig.sd15()),
+            dtype=dtype,
+        )
         vae = AutoencoderKL(
-            VaeConfig(latent_channels=16, scaling_factor=0.3611), dtype=dtype
+            load_model_config(
+                os.path.join(pretrained, "vae"), VaeConfig,
+                VaeConfig(latent_channels=16, scaling_factor=0.3611),
+            ),
+            dtype=dtype,
         )
         return FluxKontextPipeline(
             transformer, load_orbax(os.path.join(pretrained, "transformer")),

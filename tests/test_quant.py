@@ -4,6 +4,7 @@ conversion, and the quantized UNet end-to-end."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from flax import linen as nn
 
 from consolver_tpu.kernels.quant import (
@@ -244,3 +245,51 @@ def test_edit_pipeline_quantize_method():
                      num_inference_steps=2, solver="euler", decode=False)
     rel = float(jnp.linalg.norm(out_q - out_f) / (jnp.linalg.norm(out_f) + 1e-8))
     assert rel < 0.15, rel
+
+
+@pytest.mark.slow
+def test_int8_serving_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """scripts/quantize_checkpoint.py: float ckpt -> int8 orbax serving ckpt
+    whose trees + quant_int8 configs load back through build_pipeline and
+    produce EXACTLY the in-memory .quantize() preview."""
+    import sys
+
+    from scripts.selftest_eval import run_cli, synthesize_sources
+    from scripts import convert_checkpoints, quantize_checkpoint
+    from scripts.train_sd15 import build_pipeline
+    from consolver_tpu.configs.config import ExperimentConfig, apply_overrides
+    from consolver_tpu.policy import FactorNet
+
+    src, ckpts, qdst = (str(tmp_path / d) for d in ("src", "ckpts", "int8"))
+    synthesize_sources(src)
+    for kind in ("unet", "vae", "clip_text"):
+        run_cli(convert_checkpoints, [
+            "--kind", kind, "--src", f"{src}/{kind}",
+            "--dst", f"{ckpts}/{kind}", "--config", "tiny",
+        ])
+    run_cli(quantize_checkpoint, [
+        "--family", "sd", "--pretrained", ckpts, "--dst", qdst,
+    ])
+    import json
+    with open(f"{qdst}/unet_config.json") as f:
+        assert json.load(f)["quant_int8"] is True
+
+    def build(path):
+        cfg = apply_overrides(
+            ExperimentConfig.sd15_ppo(), {"model.pretrained_path": path}
+        )
+        fnet = FactorNet(cfg.factor_net)
+        return build_pipeline(cfg, fnet, fnet.init(jax.random.key(0)))
+
+    float_pipe = build(ckpts)
+    int8_pipe = build(qdst)  # loads int8 trees directly via the configs
+
+    ids = jnp.ones((2, 4), jnp.int32)
+    noise = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    img_mem, _ = float_pipe.quantize()(jax.random.key(2), ids, noise,
+                                       num_inference_steps=3)
+    img_ckpt, _ = int8_pipe(jax.random.key(2), ids, noise,
+                            num_inference_steps=3)
+    np.testing.assert_allclose(
+        np.asarray(img_ckpt), np.asarray(img_mem), rtol=1e-5, atol=1e-5
+    )
