@@ -47,7 +47,7 @@ def load_state_dict(src: str) -> dict:
     return state
 
 
-def convert(kind: str, state: dict):
+def convert(kind: str, state: dict, factor_cfg=None):
     from consolver_tpu.models import convert as c
 
     if kind == "unet":
@@ -71,10 +71,14 @@ def convert(kind: str, state: dict):
 
         return convert_dinov2(state)
     if kind == "factor_net":
-        # reference model.ckpt: use policy.FactorNet.load_torch_state_dict
-        from consolver_tpu.policy import FactorNet, FactorNetConfig
+        # reference model.ckpt: use policy.FactorNet.load_torch_state_dict.
+        # The policy dims are a checkpoint property the reference passes on
+        # its generation CLI (gen.sh: --order_dim=4 --scaler_dim=0
+        # --factor_num_actions=21); factor_cfg carries them here and is
+        # recorded as factor_net_config.json beside the dst.
+        from consolver_tpu.policy import FactorNet
 
-        net = FactorNet(FactorNetConfig())
+        net = FactorNet(factor_cfg)
         return net.load_torch_state_dict(state)
     raise ValueError(f"unknown kind {kind}")
 
@@ -106,10 +110,24 @@ def main():
         "--config", default="sd15",
         help="config preset recorded as {dst}_config.json (unet/vae/clip_text)",
     )
+    # factor_net checkpoint dims (gen.sh passes these on the reference CLI)
+    ap.add_argument("--order-dim", type=int, default=4)
+    ap.add_argument("--scaler-dim", type=int, default=0)
+    ap.add_argument("--num-actions", type=int, default=11)
+    ap.add_argument("--family", default="sd", choices=["sd", "fm"])
     args = ap.parse_args()
 
+    factor_cfg = None
+    if args.kind == "factor_net":
+        from consolver_tpu.policy import FactorNetConfig
+
+        factor_cfg = FactorNetConfig(
+            order_dim=args.order_dim, scaler_dim=args.scaler_dim,
+            num_actions=args.num_actions, family=args.family,
+        )
+
     state = load_state_dict(args.src)
-    params = convert(args.kind, state)
+    params = convert(args.kind, state, factor_cfg)
     if args.dtype == "bfloat16":
         import jax.numpy as jnp
         import jax
@@ -120,6 +138,16 @@ def main():
 
     ckpt = ocp.PyTreeCheckpointer()
     ckpt.save(os.path.abspath(args.dst), params, force=True)
+
+    if factor_cfg is not None:
+        import dataclasses
+        import json
+
+        # save_pretrained-layout sidecar so load_factor_ckpt reconstructs
+        # the trained dims automatically at generation time
+        with open(os.path.join(os.path.dirname(args.dst.rstrip("/")) or ".",
+                               "factor_net_config.json"), "w") as f:
+            json.dump(dataclasses.asdict(factor_cfg), f, indent=2)
 
     cfg = model_config(args.kind, args.config)
     if cfg is not None:

@@ -52,17 +52,22 @@ def main():
     from consolver_tpu.data.tokenizer import load_tokenizer, tokenize_batch
     from consolver_tpu.eval.gen_sweep import generate_sweep, read_coco_captions
     from consolver_tpu.policy import FactorNet
-    from scripts.train_sd15 import build_pipeline, load_orbax
+    from scripts.train_sd15 import build_pipeline, load_factor_ckpt
 
     cfg = ExperimentConfig.sd15_ppo()
     if args.pretrained:
         cfg = apply_overrides(cfg, {"model.pretrained_path": args.pretrained})
 
-    fnet = FactorNet(cfg.factor_net)
-    fparams = fnet.init(jax.random.key(0))
+    fcfg = cfg.factor_net
     if args.factor_ckpt:
-        restored = load_orbax(args.factor_ckpt)
-        fparams = restored.get("params", restored)
+        # the checkpoint's factor_net_config.json (when present) overrides
+        # the preset dims — gen.sh generates with --factor_num_actions=21
+        # while run_ppo.sh trains 11: dims are a checkpoint property
+        fcfg, fparams = load_factor_ckpt(args.factor_ckpt, fcfg)
+        fnet = FactorNet(fcfg)
+    else:
+        fnet = FactorNet(fcfg)
+        fparams = fnet.init(jax.random.key(0))
     pipe = build_pipeline(cfg, fnet, fparams)
 
     if args.prompts is None:

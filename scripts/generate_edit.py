@@ -59,17 +59,19 @@ def main():
     from consolver_tpu.eval.edit_scores import write_example
     from consolver_tpu.policy import FactorNet
     from scripts.train_flux import build_pipeline
-    from scripts.train_sd15 import load_orbax
+    from scripts.train_sd15 import load_factor_ckpt
     from PIL import Image
 
     cfg = ExperimentConfig.flux_ppo()
     if args.pretrained:
         cfg = apply_overrides(cfg, {"model.pretrained_path": args.pretrained})
-    fnet = FactorNet(cfg.factor_net)
-    fparams = fnet.init(jax.random.key(0))
+    fcfg = cfg.factor_net
     if args.factor_ckpt:
-        restored = load_orbax(args.factor_ckpt)
-        fparams = restored.get("params", restored)
+        fcfg, fparams = load_factor_ckpt(args.factor_ckpt, fcfg)
+        fnet = FactorNet(fcfg)
+    else:
+        fnet = FactorNet(fcfg)
+        fparams = fnet.init(jax.random.key(0))
     pipe = build_pipeline(cfg, fnet, fparams)
     pipe.factor_params = fparams
 

@@ -32,6 +32,38 @@ def load_orbax(path):
     return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
 
 
+def load_factor_ckpt(path, default_cfg):
+    """Restore a trained policy for generation (gen_ppo.py:189-195 loads
+    model.ckpt with CLI-provided dims; the reference's gen.sh uses e.g.
+    --factor_num_actions=21 while training used 11 — the dims are a
+    checkpoint property).  Returns (FactorNetConfig, params).
+
+    Accepts either a trainer ``checkpoint-{step}`` dir (payload holds
+    "params") or a ``save_pretrained`` export (bare params with a
+    ``factor_net_config.json`` beside it, rl/checkpointing.py:150-155);
+    the json, when present next to the ckpt or in its parent, overrides
+    ``default_cfg`` so generation can't silently mismatch the trained
+    dims."""
+    import json
+
+    from consolver_tpu.policy import FactorNetConfig
+
+    cfg = default_cfg
+    for d in (path, os.path.dirname(path.rstrip("/"))):
+        cfg_path = os.path.join(d, "factor_net_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = FactorNetConfig(**json.load(f))
+            break
+    restored = load_orbax(path)
+    # trainer checkpoint payloads carry opt_state/global_step next to
+    # "params"; a bare export/conversion IS the flax tree (whose top-level
+    # key is also "params" — do not strip it)
+    if isinstance(restored, dict) and "opt_state" in restored:
+        return cfg, restored["params"]
+    return cfg, restored
+
+
 def load_model_config(path, cls, default):
     """Read the {ckpt}_config.json written by scripts/convert_checkpoints.py
     (tuples round-trip json as lists, so coerce them back)."""

@@ -248,3 +248,56 @@ def test_generate_cli_sde_smoke(tmp_path, monkeypatch):
     import glob
 
     assert len(glob.glob(str(out / "*.png"))) == 2
+
+
+@pytest.mark.slow
+def test_factor_ckpt_dims_flow_to_generation(tmp_path, monkeypatch):
+    """The reference generates with checkpoint-specific policy dims
+    (gen.sh: --factor_num_actions=21 --order_dim=4 while training used 11):
+    convert_checkpoints --kind factor_net records factor_net_config.json and
+    scripts/generate.py reconstructs the net at THOSE dims automatically."""
+    import sys
+
+    import torch
+    from safetensors.numpy import save_file
+
+    from consolver_tpu.policy import FactorNetConfig
+    from scripts import convert_checkpoints, generate
+    from scripts.selftest_eval import run_cli
+    from scripts.train_sd15 import load_factor_ckpt
+
+    cfg = FactorNetConfig(num_actions=21, order_dim=4, scaler_dim=0, family="sd")
+    torch.manual_seed(0)
+    tnet = torch.nn.Sequential(
+        torch.nn.Linear(2, cfg.hidden_dim), torch.nn.ReLU(),
+        torch.nn.Linear(cfg.hidden_dim, cfg.hidden_dim), torch.nn.ReLU(),
+        torch.nn.Linear(cfg.hidden_dim, cfg.num_actions * cfg.action_dims),
+    )
+    sd = {f"mlp.{i}.{k}": v.numpy() for i in [0, 2, 4]
+          for k, v in tnet[i].state_dict().items()}
+    src = tmp_path / "src"
+    src.mkdir()
+    save_file(sd, str(src / "model.safetensors"))
+
+    dst = tmp_path / "ckpt" / "factor_net"
+    run_cli(convert_checkpoints, [
+        "--kind", "factor_net", "--src", str(src), "--dst", str(dst),
+        "--num-actions", "21", "--order-dim", "4", "--scaler-dim", "0",
+    ])
+    assert (tmp_path / "ckpt" / "factor_net_config.json").exists()
+
+    loaded_cfg, params = load_factor_ckpt(str(dst), FactorNetConfig())
+    assert loaded_cfg.num_actions == 21 and loaded_cfg.order_dim == 4
+    assert "params" in params  # flax tree not stripped
+
+    # smoke-generate with the converted policy: the 21-action net drives the
+    # consistencysolver rollout end-to-end
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "generate.py", "--solver", "consistencysolver", "--steps", "3",
+        "--factor-ckpt", str(dst), "--out", str(out),
+        "--max-prompts", "2", "--batch-size", "2",
+    ])
+    generate.main()
+    import glob
+    assert len(glob.glob(str(out / "*.png"))) == 2
