@@ -90,7 +90,13 @@ def generate_edit_teacher_set(
     ``denoise_fn(key, noise, t5_ids, clip_ids, ref_image) -> final latents``
     (unpacked [B, h, w, C] — our canonical latent layout; the reference
     stores packed tokens).  ``tokenize(instructions) -> (t5_ids, clip_ids)``.
-    NaN samples are dropped.  Returns the number of samples written."""
+    NaN samples are dropped.  Returns the number of samples written.
+
+    Determinism: the INIT NOISE is per-example (fold_in(seed, example_idx),
+    independent of batch_size); the rollout key is per-BATCH, so with a
+    stochastic teacher solver (sde variants) reproducibility additionally
+    requires a fixed batch_size — the production teachers (euler /
+    multistep-dpm, generate.py:118-122) consume no rollout randomness."""
     os.makedirs(output_dir, exist_ok=True)
     files = sorted(f for f in os.listdir(prepared_dir) if f.endswith(".npz"))
     files = files[:max_samples]

@@ -26,7 +26,7 @@ reference bug never triggered by any production config (SURVEY.md section 2.2).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +47,7 @@ class FactorNetConfig:
     # (sd=1.0, fm=0.01).  The FM production sharpness makes the initial
     # random-init policy near-deterministic (almost no exploration) — useful
     # to soften for toy-scale learning studies (scripts/learning_check_edit).
-    temperature_override: "Optional[float]" = None
+    temperature_override: Optional[float] = None
 
     @property
     def action_dims(self) -> int:

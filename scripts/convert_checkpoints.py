@@ -113,7 +113,9 @@ def main():
     # factor_net checkpoint dims (gen.sh passes these on the reference CLI)
     ap.add_argument("--order-dim", type=int, default=4)
     ap.add_argument("--scaler-dim", type=int, default=0)
+    ap.add_argument("--mu-dim", type=int, default=0)
     ap.add_argument("--num-actions", type=int, default=11)
+    ap.add_argument("--hidden-dim", type=int, default=256)
     ap.add_argument("--family", default="sd", choices=["sd", "fm"])
     args = ap.parse_args()
 
@@ -123,11 +125,34 @@ def main():
 
         factor_cfg = FactorNetConfig(
             order_dim=args.order_dim, scaler_dim=args.scaler_dim,
-            num_actions=args.num_actions, family=args.family,
+            mu_dim=args.mu_dim, num_actions=args.num_actions,
+            hidden_dim=args.hidden_dim, family=args.family,
         )
 
     state = load_state_dict(args.src)
     params = convert(args.kind, state, factor_cfg)
+
+    if factor_cfg is not None:
+        # the sidecar exists to guarantee generation rebuilds the net at the
+        # trained dims — validate them against the checkpoint HERE, where a
+        # mismatch is a clear error (head out-features = num_actions *
+        # action_dims, factor_net_ppo.py:75-81)
+        head_out = np.shape(params["params"]["head"]["kernel"])[-1]
+        want = factor_cfg.num_actions * factor_cfg.action_dims
+        if head_out != want:
+            raise SystemExit(
+                f"factor_net dims mismatch: checkpoint head has {head_out} "
+                f"out-features but --num-actions={factor_cfg.num_actions} x "
+                f"action_dims={factor_cfg.action_dims} = {want}; pass the "
+                "dims this policy was trained with (the reference's gen.sh "
+                "CLI values)"
+            )
+        hidden = np.shape(params["params"]["fc0"]["kernel"])[-1]
+        if hidden != factor_cfg.hidden_dim:
+            raise SystemExit(
+                f"factor_net hidden_dim mismatch: checkpoint {hidden} vs "
+                f"--hidden-dim {factor_cfg.hidden_dim}"
+            )
     if args.dtype == "bfloat16":
         import jax.numpy as jnp
         import jax
@@ -143,10 +168,11 @@ def main():
         import dataclasses
         import json
 
-        # save_pretrained-layout sidecar so load_factor_ckpt reconstructs
-        # the trained dims automatically at generation time
-        with open(os.path.join(os.path.dirname(args.dst.rstrip("/")) or ".",
-                               "factor_net_config.json"), "w") as f:
+        # collision-free sibling sidecar ({dst}_factor_net_config.json, like
+        # the other kinds' {dst}_config.json) so two policies converted into
+        # the same parent dir keep their own dims; load_factor_ckpt checks
+        # this name first
+        with open(args.dst.rstrip("/") + "_factor_net_config.json", "w") as f:
             json.dump(dataclasses.asdict(factor_cfg), f, indent=2)
 
     cfg = model_config(args.kind, args.config)

@@ -57,13 +57,13 @@ def main():
     lat = args.resolution // 8
     s_img = (lat // 2) * (lat // 2)
     img = jnp.zeros((1, s_img, fcfg.in_channels))
-    tshapes = jax.eval_shape(
-        transformer.init, jax.random.key(0), img,
-        jnp.zeros((1, 16, fcfg.joint_text_dim)),
-        jnp.zeros((1, fcfg.pooled_text_dim)), jnp.ones((1,)), jnp.ones((1,)),
-        jnp.zeros((s_img, 3)), jnp.zeros((16, 3)),
-    )
     if args.bf16:
+        tshapes = jax.eval_shape(
+            transformer.init, jax.random.key(0), img,
+            jnp.zeros((1, 16, fcfg.joint_text_dim)),
+            jnp.zeros((1, fcfg.pooled_text_dim)), jnp.ones((1,)), jnp.ones((1,)),
+            jnp.zeros((s_img, 3)), jnp.zeros((16, 3)),
+        )
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             tr_params = random_params_like(tshapes, 1, jnp.bfloat16)

@@ -80,6 +80,17 @@ def main():
         save_component(args.dst, "t5", pipe.t5_params, pipe.t5.cfg)
         save_component(args.dst, "clip_text", pipe.clip_params, pipe.clip.cfg)
 
+    # the float checkpoint's tokenizer dirs must travel with the int8 copy
+    # (generate.py / generate_edit.py read them; load_tokenizer silently
+    # falls back to the hash tokenizer when they are missing)
+    import shutil
+
+    for tok_dir in ("tokenizer", "tokenizer_t5"):
+        src = os.path.join(args.pretrained, tok_dir)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(args.dst, tok_dir),
+                            dirs_exist_ok=True)
+
     from consolver_tpu.kernels.quant import tree_bytes
 
     total = sum(

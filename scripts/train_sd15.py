@@ -49,8 +49,14 @@ def load_factor_ckpt(path, default_cfg):
     from consolver_tpu.policy import FactorNetConfig
 
     cfg = default_cfg
-    for d in (path, os.path.dirname(path.rstrip("/"))):
-        cfg_path = os.path.join(d, "factor_net_config.json")
+    candidates = (
+        # converter sidecar (collision-free sibling name)
+        path.rstrip("/") + "_factor_net_config.json",
+        # save_pretrained layout: output_dir/factor_net + the json beside it
+        os.path.join(path, "factor_net_config.json"),
+        os.path.join(os.path.dirname(path.rstrip("/")), "factor_net_config.json"),
+    )
+    for cfg_path in candidates:
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
                 cfg = FactorNetConfig(**json.load(f))

@@ -116,7 +116,6 @@ def test_edit_teacher_chain_feeds_trainer(tmp_path):
     from consolver_tpu.rl.ppo import PPOConfig
     from consolver_tpu.rl.train import TrainConfig
     from consolver_tpu.rl.train_edit import EditPPOTrainer
-    from tests.test_edit import pipe as _  # noqa: F401 (fixture registration)
 
     # source images + sidecar instructions -> prepared npz
     src = tmp_path / "src"

@@ -284,11 +284,19 @@ def test_factor_ckpt_dims_flow_to_generation(tmp_path, monkeypatch):
         "--kind", "factor_net", "--src", str(src), "--dst", str(dst),
         "--num-actions", "21", "--order-dim", "4", "--scaler-dim", "0",
     ])
-    assert (tmp_path / "ckpt" / "factor_net_config.json").exists()
+    # collision-free sibling sidecar: {dst}_factor_net_config.json
+    assert (tmp_path / "ckpt" / "factor_net_factor_net_config.json").exists()
 
     loaded_cfg, params = load_factor_ckpt(str(dst), FactorNetConfig())
     assert loaded_cfg.num_actions == 21 and loaded_cfg.order_dim == 4
     assert "params" in params  # flax tree not stripped
+
+    # wrong dims are a clear error AT CONVERT TIME (head shape validation)
+    with pytest.raises(SystemExit, match="dims mismatch"):
+        run_cli(convert_checkpoints, [
+            "--kind", "factor_net", "--src", str(src),
+            "--dst", str(tmp_path / "bad"), "--num-actions", "11",
+        ])
 
     # smoke-generate with the converted policy: the 21-action net drives the
     # consistencysolver rollout end-to-end
