@@ -145,3 +145,11 @@ class TestTorchConversion:
         ).numpy()
         jprobs = np.asarray(net.probs(params, {"x": jnp.asarray(x)}))
         np.testing.assert_allclose(jprobs, tprobs, rtol=1e-4, atol=1e-5)
+
+
+def test_temperature_override():
+    """Beyond-reference knob: soften the FM production sharpness for
+    exploration studies (scripts/learning_check_edit.py)."""
+    assert FactorNetConfig(family="fm").temperature == 0.01
+    assert FactorNetConfig(family="sd").temperature == 1.0
+    assert FactorNetConfig(family="fm", temperature_override=1.0).temperature == 1.0
