@@ -28,12 +28,20 @@ def generate_teacher_set(
     seed: int = 0,
     decode_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     save_sanity_images: int = 10,
+    uncond_ids: Optional[np.ndarray] = None,
 ) -> int:
     """For each prompt: sample init noise, run the teacher solver via
     ``denoise_fn(key, noise, prompt_ids_batch) -> final latents``, save
     ``{i}.npz`` with (noise, latent, prompt_ids).  NaN samples are dropped
-    (generate_data.py:209).  Returns the number of samples written."""
+    (generate_data.py:209).  Returns the number of samples written.
+
+    ``uncond_ids`` is the tokenized-empty-prompt row ``[S]`` (or ``[1, S]``)
+    for the CFG negative branch (denoise_ppo.py:39-48); when given it is
+    stored in every sample so PPOTrainer conditions the negative branch on
+    the same ids the teacher used."""
     os.makedirs(output_dir, exist_ok=True)
+    if uncond_ids is not None:
+        uncond_ids = np.asarray(uncond_ids).reshape(-1)
     n = len(prompt_ids)
     written = 0
     base = jax.random.key(seed)
@@ -53,12 +61,12 @@ def generate_teacher_set(
             if np.isnan(latents[j]).any():
                 continue
             idx = start + j
-            np.savez(
-                os.path.join(output_dir, f"{idx:06d}.npz"),
-                noise=np.asarray(noise[j]),
-                latent=latents[j],
-                prompt_ids=ids[j],
+            sample = dict(
+                noise=np.asarray(noise[j]), latent=latents[j], prompt_ids=ids[j]
             )
+            if uncond_ids is not None:
+                sample["uncond_ids"] = uncond_ids
+            np.savez(os.path.join(output_dir, f"{idx:06d}.npz"), **sample)
             if images is not None and idx < save_sanity_images:
                 from consolver_tpu.eval.gen_sweep import save_png
 

@@ -74,3 +74,18 @@ def tokenize_batch(
     if vocab_size is not None:
         ids = ids % vocab_size
     return ids
+
+
+def uncond_input_ids(
+    tokenizer, batch_size: int, max_length: int,
+    vocab_size: Optional[int] = None,
+) -> np.ndarray:
+    """Tokenized EMPTY prompt for the CFG negative branch, tiled to
+    ``[batch_size, max_length]`` (denoise_ppo.py:39-48: the reference
+    tokenizes ``[""] * batch`` with padding="max_length").
+
+    This is NOT an all-zeros array: a real CLIP tokenizer maps ``""`` to
+    ``[BOS, EOS, PAD, ...]`` and id 0 is an ordinary vocab token, so
+    zero-filled negative ids would condition CFG on the wrong context."""
+    row = tokenize_batch(tokenizer, [""], max_length, vocab_size)
+    return np.tile(row, (batch_size, 1))

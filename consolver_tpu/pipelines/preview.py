@@ -76,7 +76,7 @@ class PreviewSession:
         """Full-step generation from the accepted preview's exact noise."""
         ids = preview.prompt_ids.reshape(1, -1)
         context, uncond = self.pipe._encode(
-            self.pipe.text_params, ids, jnp.zeros_like(ids)
+            self.pipe.text_params, ids, self.pipe.uncond_ids_for(ids)
         )
         latents = self._refine(
             self.pipe.unet_params, preview.noise[None], context, uncond

@@ -668,14 +668,19 @@ def make_solver(
     schedule: schedules.DiffusionSchedule,
     num_steps: int,
     noise_key: Optional[jax.Array] = None,
+    eta: float = 0.0,
 ) -> BaselineSolver:
     """Instantiate a zoo solver by the reference's names (gen_ppo.py:118-169).
     The ``sde-*`` stochastic variants (the AMED plugin's algorithm_type
-    options, diffusers_amed_plugin_dpmpp.py:124-137) need ``noise_key``."""
+    options, diffusers_amed_plugin_dpmpp.py:124-137) need ``noise_key``, as
+    do ddim/dmd2 with ``eta > 0`` (the pipeline call's eta parameter)."""
     if name == "ddim":
-        return Ddim(schedule, num_steps)
+        return Ddim(schedule, num_steps, eta=eta, noise_key=noise_key)
     if name == "dmd2":  # DDIM-trailing; pair with DMD2-distilled UNet weights
-        return Ddim(schedule, num_steps, timestep_spacing="trailing", steps_offset=0)
+        return Ddim(schedule, num_steps, timestep_spacing="trailing",
+                    steps_offset=0, eta=eta, noise_key=noise_key)
+    if eta > 0:
+        raise ValueError(f"eta only applies to ddim/dmd2, not {name!r}")
     if name == "ipndm":
         return IPndm(schedule, num_steps)
     if name == "unipc":
@@ -702,17 +707,22 @@ def make_baseline_denoise_fn(
     solver_name: str,
     num_inference_steps: int,
     guidance_scale: float = 3.0,
+    eta: float = 0.0,
 ):
     """Jitted unrolled denoise loop for a zoo solver: (unet_params, noise,
     context, uncond_context) -> final latents.  CFG-batched like the learnable
-    pipeline (pipelines/t2i.py).  Stochastic ``sde-*`` solvers take an extra
-    leading ``key`` argument: (unet_params, key, noise, context, uncond)."""
+    pipeline (pipelines/t2i.py).  Stochastic solvers — ``sde-*``, or
+    ddim/dmd2 with ``eta > 0`` — take an extra leading ``key`` argument:
+    (unet_params, key, noise, context, uncond).  The key is a TRACED
+    argument (not a closure constant), so one compile serves every batch of
+    a generation sweep."""
     do_cfg = guidance_scale > 1.0
-    stochastic = solver_name.startswith("sde-")
+    stochastic = solver_name.startswith("sde-") or eta > 0
 
     def _run(unet_params, noise, context, uncond_context, noise_key):
         solver = make_solver(
-            solver_name, schedule, num_inference_steps, noise_key=noise_key
+            solver_name, schedule, num_inference_steps, noise_key=noise_key,
+            eta=eta,
         )
         x = jnp.asarray(noise, jnp.float32)
         batch = x.shape[0]

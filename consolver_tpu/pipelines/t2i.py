@@ -355,6 +355,7 @@ class TextToImagePipeline:
         factor_params: Optional[Any] = None,
         timestep_spacing: str = "trailing",
         steps_offset: int = 1,
+        tokenizer=None,
     ):
         self.unet = unet
         self.unet_params = unet_params
@@ -367,6 +368,7 @@ class TextToImagePipeline:
         self.factor_params = factor_params
         self.timestep_spacing = timestep_spacing
         self.steps_offset = steps_offset
+        self.tokenizer = tokenizer
         self._denoise_cache = {}
         self._encode = encode_prompt_fn(
             lambda p, ids: self.text_encoder.apply(p, ids)
@@ -374,6 +376,21 @@ class TextToImagePipeline:
 
     def _unet_apply(self, params, latents, t, context):
         return self.unet.apply(params, latents, t, context)
+
+    def uncond_ids_for(self, prompt_ids) -> jax.Array:
+        """Empty-prompt negative ids for CFG (denoise_ppo.py:39-48): the
+        reference tokenizes ``[""]`` with padding="max_length" — NOT all-zero
+        ids (id 0 is a real CLIP vocab token).  Uses the attached tokenizer;
+        in tokenizer-less smoke mode falls back to the HashTokenizer's
+        empty-prompt encoding ([BOS, EOS, pad...])."""
+        from consolver_tpu.data.tokenizer import HashTokenizer, uncond_input_ids
+
+        max_len = int(prompt_ids.shape[1])
+        tok = self.tokenizer or HashTokenizer(max_length=max_len)
+        return jnp.asarray(uncond_input_ids(
+            tok, int(prompt_ids.shape[0]), max_len,
+            vocab_size=self.text_encoder.cfg.vocab_size,
+        ))
 
     def quantize(self) -> "TextToImagePipeline":
         """Return a W8A8 int8 serving copy of this pipeline: UNet projections
@@ -409,6 +426,7 @@ class TextToImagePipeline:
             factor_params=self.factor_params,
             timestep_spacing=self.timestep_spacing,
             steps_offset=self.steps_offset,
+            tokenizer=self.tokenizer,
         )
 
     def denoise_fn(
@@ -486,7 +504,7 @@ class TextToImagePipeline:
     ):
         """Returns (images or final latents, trajectory)."""
         if uncond_ids is None:
-            uncond_ids = jnp.zeros_like(prompt_ids)
+            uncond_ids = self.uncond_ids_for(prompt_ids)
         context, uncond_context = self._encode(self.text_params, prompt_ids, uncond_ids)
         denoise = self.denoise_fn(num_inference_steps, guidance_scale, solver=solver)
         latents, traj = denoise(

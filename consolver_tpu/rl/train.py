@@ -146,7 +146,7 @@ class PPOTrainer(CheckpointMixin):
         uncond_ids = (
             jnp.asarray(batch["uncond_ids"])
             if "uncond_ids" in batch
-            else jnp.zeros_like(prompt_ids)
+            else self.pipe.uncond_ids_for(prompt_ids)
         )
         context, uncond_context = self.pipe._encode(
             self.pipe.text_params, prompt_ids, uncond_ids

@@ -116,31 +116,17 @@ def main():
         return wrapped
 
     if args.eta > 0:
-        # stochastic DDIM goes through the zoo solver directly (the eta
-        # parameter of the reference pipeline call)
+        # stochastic DDIM (the eta parameter of the reference pipeline call):
+        # built ONCE — the noise key is a traced argument of the jitted zoo
+        # loop, so a multi-batch sweep compiles a single CFG-batched program
         from consolver_tpu.models.vae import decode_latents
-        from consolver_tpu.pipelines.solver_zoo import Ddim
+        from consolver_tpu.pipelines.solver_zoo import make_baseline_denoise_fn
 
-        def make_eta_denoise(key):
-            solver = Ddim(
-                pipe.schedule, args.steps,
-                timestep_spacing="trailing" if args.solver == "dmd2" else "leading",
-                steps_offset=0 if args.solver == "dmd2" else 1,
-                eta=args.eta, noise_key=key,
-            )
-
-            @jax.jit
-            def run(up, noise, ctx, unc):
-                x = noise
-                for i, t in enumerate(solver.timesteps):
-                    tb = jnp.full((x.shape[0],), int(t), jnp.int32)
-                    e_u = pipe.unet.apply(up, x, tb, unc)
-                    e_c = pipe.unet.apply(up, x, tb, ctx)
-                    eps = e_u + args.cfg * (e_c - e_u)
-                    x = solver.step(i, x, eps.astype(jnp.float32))
-                return x
-
-            return run
+        solver_name = args.solver if args.solver in ("ddim", "dmd2") else "ddim"
+        eta_denoise = make_baseline_denoise_fn(
+            pipe._unet_apply, pipe.schedule, solver_name, args.steps,
+            args.cfg, eta=args.eta,
+        )
 
         def generate_batch(key, batch_prompts):
             ids = jnp.asarray(tokenize_batch(
@@ -148,8 +134,8 @@ def main():
                 vocab_size=pipe.text_encoder.cfg.vocab_size))
             noise = jax.random.normal(key, (len(batch_prompts), latent, latent, 4))
             ids, noise = shard_inputs(ids, noise)
-            ctx, unc = pipe._encode(pipe.text_params, ids, jnp.zeros_like(ids))
-            latents = make_eta_denoise(key)(pipe.unet_params, noise, ctx, unc)
+            ctx, unc = pipe._encode(pipe.text_params, ids, pipe.uncond_ids_for(ids))
+            latents = eta_denoise(pipe.unet_params, key, noise, ctx, unc)
             return decode_latents(pipe.vae, pipe.vae_params, latents)
     else:
         def generate_batch(key, batch_prompts):

@@ -83,8 +83,18 @@ def main():
                                 vocab_size=pipe.text_encoder.cfg.vocab_size)
     latent = 64 if args.pretrained else 8
 
+    # tokenized-empty-prompt CFG negative ids (denoise_ppo.py:39-48), stored
+    # per sample so the trainer conditions its negative branch identically
+    from consolver_tpu.data.tokenizer import uncond_input_ids
+
+    uncond_row = uncond_input_ids(tokenizer, 1, prompt_len,
+                                  vocab_size=pipe.text_encoder.cfg.vocab_size)
+
     def teacher_denoise(key, noise, ids):
-        ctx, uncond = pipe._encode(pipe.text_params, ids, jnp.zeros_like(ids))
+        ctx, uncond = pipe._encode(
+            pipe.text_params, ids,
+            jnp.asarray(np.tile(uncond_row, (ids.shape[0], 1))),
+        )
         fn = pipe.denoise_fn(args.steps, args.cfg, record=False, solver=args.solver)
         latents, _ = fn(pipe.unet_params, pipe.factor_params, key, noise, ctx, uncond)
         return latents
@@ -93,6 +103,7 @@ def main():
         teacher_denoise, prompt_ids, args.out, noise_shape=(latent, latent, 4),
         batch_size=args.batch_size, seed=args.seed,
         decode_fn=lambda lat: decode_latents(pipe.vae, pipe.vae_params, lat),
+        uncond_ids=uncond_row,
     )
     print(f"wrote {n} teacher samples to {args.out}")
 

@@ -86,6 +86,7 @@ def load_model_config(path, cls, default):
 
 def build_pipeline(cfg, factor_net, factor_params):
     from consolver_tpu.core import schedules
+    from consolver_tpu.data.tokenizer import load_tokenizer
     from consolver_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
     from consolver_tpu.models.unet_2d import UNetConfig, UNet2DCondition
     from consolver_tpu.models.vae import AutoencoderKL, VaeConfig
@@ -120,6 +121,9 @@ def build_pipeline(cfg, factor_net, factor_params):
         unet, unet_params, te, te_params, vae, vae_params,
         schedules.DiffusionSchedule.sd15(),
         factor_net=factor_net, factor_params=factor_params,
+        tokenizer=load_tokenizer(
+            os.path.join(pretrained, "tokenizer") if pretrained else None
+        ),
     )
 
 
