@@ -29,8 +29,23 @@ class ModelConfig:
 @dataclasses.dataclass(frozen=True)
 class DataConfig:
     train_data_dir: str = "data/teacher/sd15"
-    batch_size: int = 80  # run_ppo.sh: train_batch_size 80
+    # PER-SHARD batch, like the reference's per-process train_batch_size
+    # (run_ppo.sh: 80 on 1 GPU; edit_ppo/run_ppo.sh: 10/GPU x 8 = global 80).
+    # The training CLIs feed batch_size * data_parallel to the dataset.
+    batch_size: int = 80
     shuffle: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DistConfig:
+    """Mesh topology (replaces accelerate --num_processes + NCCL DDP,
+    run_ppo.sh:5 / edit_ppo/run_ppo.sh:5).  data_parallel shards the group
+    batch (one prompt group per shard); model_parallel tensor-shards the
+    frozen denoiser by dist/tp rules.  Requested shards clamp to visible
+    devices (dist.mesh.mesh_from_config)."""
+
+    data_parallel: int = 1
+    model_parallel: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,18 +58,21 @@ class RewardConfig:
 class ExperimentConfig:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    dist: DistConfig = dataclasses.field(default_factory=DistConfig)
     reward: RewardConfig = dataclasses.field(default_factory=RewardConfig)
     factor_net: FactorNetConfig = dataclasses.field(default_factory=FactorNetConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
 
     @classmethod
     def sd15_ppo(cls) -> "ExperimentConfig":
-        """Production SD-1.5 PPO preset (run_ppo.sh:5-33): 1 chip, bs=80,
-        lr=1e-4, 3001 steps, order_dim=4, scaler_dim=0, 11 actions,
-        reward=depth, ppo_epochs=1, cfg=3."""
+        """Production SD-1.5 PPO preset (run_ppo.sh:5-33): 1 process, bs=80,
+        lr=1e-4, wd=1e-3, 3001 steps, ckpt every 100 keep 20, seed
+        453645634, order_dim=4, scaler_dim=0, 11 actions, reward=depth,
+        ppo_epochs=1, cfg=3."""
         return cls(
             model=ModelConfig(family="sd15", resolution=512),
             data=DataConfig(batch_size=80),
+            dist=DistConfig(data_parallel=1),
             reward=RewardConfig(reward_type="depth"),
             factor_net=FactorNetConfig(
                 order_dim=4, scaler_dim=0, num_actions=11, hidden_dim=256, family="sd"
@@ -62,12 +80,15 @@ class ExperimentConfig:
             train=TrainConfig(
                 max_train_steps=3001,
                 guidance_scale=3.0,
-                checkpointing_steps=500,
+                checkpointing_steps=100,
+                checkpoints_total_limit=20,
+                seed=453645634,
                 ppo=PPOConfig(
                     ppo_epochs=1,
                     clip_range=0.2,
                     entropy_coef=0.01,
                     learning_rate=1e-4,
+                    weight_decay=1e-3,
                     advantage_scale=10.0,
                 ),
             ),
@@ -76,26 +97,33 @@ class ExperimentConfig:
     @classmethod
     def flux_ppo(cls) -> "ExperimentConfig":
         """Production FLUX-Kontext PPO preset (edit_ppo/run_ppo.sh:5-32):
-        8 chips DP, bs=10/chip, lr=1e-3, order_dim=2, 11 actions,
-        reward=dino, ppo_epochs=4, cfg=2.5, steps in [2, 6)."""
+        8 processes DP, bs=10/process (global 80, 8 per-rank groups),
+        lr=1e-3, wd=1e-3, 1001 steps, ckpt every 100 keep 20, seed
+        453645634, order_dim=2, 11 actions, reward=dino, ppo_epochs=4,
+        cfg=2.5, steps in [2, 6)."""
         return cls(
             model=ModelConfig(family="flux", resolution=1024),
             data=DataConfig(batch_size=10, train_data_dir="data/teacher/flux"),
+            dist=DistConfig(data_parallel=8),
             reward=RewardConfig(reward_type="dino"),
             factor_net=FactorNetConfig(
                 order_dim=2, scaler_dim=0, mu_dim=0, num_actions=11,
                 hidden_dim=256, family="fm",
             ),
             train=TrainConfig(
-                max_train_steps=3001,
+                max_train_steps=1001,
                 guidance_scale=2.5,
                 min_inference_steps=2,
                 max_inference_steps=6,
+                checkpointing_steps=100,
+                checkpoints_total_limit=20,
+                seed=453645634,
                 ppo=PPOConfig(
                     ppo_epochs=4,
                     clip_range=0.2,
                     entropy_coef=0.01,
                     learning_rate=1e-3,
+                    weight_decay=1e-3,
                     advantage_scale=1.0,
                 ),
             ),

@@ -17,13 +17,38 @@ import numpy as np
 
 def repeat_random_sample(batch: Dict[str, np.ndarray], rng: random.Random) -> Dict[str, np.ndarray]:
     """Pick one sample and tile it across the batch dimension."""
+    return repeat_random_sample_groups(batch, rng, 1)
+
+
+def repeat_random_sample_groups(
+    batch: Dict[str, np.ndarray], rng: random.Random, num_groups: int
+) -> Dict[str, np.ndarray]:
+    """Per-shard group construction: split the batch into ``num_groups``
+    contiguous chunks; within each, pick one sample independently and tile
+    it over the chunk.
+
+    This reproduces the reference's DDP distribution (edit_ppo/train_ppo.py
+    :258-326): each of the 8 ranks draws its OWN prompt from its dataloader
+    shard and normalizes advantages within its own group — 8 independent
+    groups of 10, not 1 group of 80.  Contiguous chunks align exactly with
+    ``dist.mesh.shard_batch``'s leading-axis device shards, so group g lives
+    on data-shard g and the gradient psum averages the groups like DDP."""
     some = next(iter(batch.values()))
     batch_size = some.shape[0]
-    idx = rng.randint(0, batch_size - 1)
+    if batch_size % num_groups:
+        raise ValueError(
+            f"batch size {batch_size} not divisible by num_groups {num_groups}"
+        )
+    group = batch_size // num_groups
+    picks = [
+        g * group + rng.randint(0, group - 1) for g in range(num_groups)
+    ]
     out = {}
     for k, v in batch.items():
-        reps = (batch_size,) + (1,) * (v.ndim - 1)
-        out[k] = np.tile(v[idx : idx + 1], reps)
+        reps = (group,) + (1,) * (v.ndim - 1)
+        out[k] = np.concatenate(
+            [np.tile(v[i : i + 1], reps) for i in picks]
+        )
     return out
 
 

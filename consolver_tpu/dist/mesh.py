@@ -76,6 +76,42 @@ def make_hybrid_mesh(
         )
 
 
+def mesh_from_config(
+    data_parallel: int = 1,
+    model_parallel: int = 1,
+    warn=print,
+) -> Optional[Mesh]:
+    """Build the training mesh from config knobs (configs.DistConfig — the
+    TPU-native replacement for accelerate's --num_processes,
+    edit_ppo/run_ppo.sh:5).  Returns None for a 1x1 topology (no mesh).
+
+    Requested shards clamp to the visible devices with a warning, so a
+    production preset written for a v5e-8 still smoke-runs on one chip."""
+    ndev = jax.device_count()
+    if data_parallel * model_parallel <= 1:
+        return None
+    if model_parallel > ndev or ndev % max(model_parallel, 1):
+        warn(
+            f"[dist] model_parallel={model_parallel} does not fit "
+            f"{ndev} devices; disabling model axis"
+        )
+        model_parallel = 1
+    dp = min(data_parallel, ndev // model_parallel)
+    if dp != data_parallel:
+        warn(
+            f"[dist] clamping data_parallel {data_parallel} -> {dp} "
+            f"({ndev} visible devices, model_parallel={model_parallel})"
+        )
+    if dp * model_parallel <= 1:
+        return None
+    if model_parallel > 1:
+        return make_mesh(
+            num_devices=dp * model_parallel, axis_shape=(dp, model_parallel),
+            axis_names=(DATA_AXIS, MODEL_AXIS),
+        )
+    return make_mesh(num_devices=dp)
+
+
 def data_axis_size(mesh: Mesh, axis: str = DATA_AXIS) -> int:
     """Number of shards along the data axis — the multiple batch sizes must
     pad to before :func:`shard_batch`."""

@@ -39,19 +39,36 @@ class PPOConfig:
     max_grad_norm: float = 1.0
 
 
-def group_advantages(rewards: jax.Array, scale: float = 10.0) -> jax.Array:
-    """(r - mean)/(std + 1e-8) * scale over the group axis
-    (train_ppo.py:376)."""
-    return (rewards - rewards.mean()) / (rewards.std() + 1e-8) * scale
+def group_advantages(
+    rewards: jax.Array, scale: float = 10.0, num_groups: int = 1
+) -> jax.Array:
+    """(r - mean)/(std + 1e-8) * scale, normalized WITHIN each of
+    ``num_groups`` contiguous groups (train_ppo.py:376).
+
+    Under data parallelism the reference normalizes per rank — each rank is
+    one group (train_ppo.py:337,376 runs per-process under accelerate) —
+    so the flat [B] reward vector is [G, B/G] groups matching
+    data.group.repeat_random_sample_groups' layout."""
+    r = rewards.reshape(num_groups, -1)
+    adv = (r - r.mean(axis=1, keepdims=True)) / (r.std(axis=1, keepdims=True) + 1e-8)
+    return adv.reshape(rewards.shape) * scale
 
 
 def baseline_clipped_advantages(
-    rewards: jax.Array, baseline_reward: jax.Array, max_clip: float = 100.0
+    rewards: jax.Array, baseline_reward: jax.Array, max_clip: float = 100.0,
+    num_groups: int = 1,
 ) -> jax.Array:
     """FLUX variant: group mean clipped from below by the naive-scheduler
-    baseline reward (edit_ppo/train_ppo.py:316-326)."""
-    mean = jnp.clip(rewards.mean(), baseline_reward, max_clip)
-    return (rewards - mean) / (rewards.std() + 1e-8)
+    baseline reward (edit_ppo/train_ppo.py:316-326), per group.
+
+    ``baseline_reward`` is scalar (one group) or ``[num_groups]`` — the
+    reference's DDP run computes one 1-sample Euler baseline PER RANK
+    (edit_ppo/train_ppo.py:290-326), i.e. one per group."""
+    r = rewards.reshape(num_groups, -1)
+    base = jnp.broadcast_to(jnp.asarray(baseline_reward).reshape(-1), (num_groups,))
+    mean = jnp.clip(r.mean(axis=1), base, max_clip)[:, None]
+    adv = (r - mean) / (r.std(axis=1, keepdims=True) + 1e-8)
+    return adv.reshape(rewards.shape)
 
 
 def flatten_trajectory(

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from consolver_tpu.data.group import repeat_random_sample
+from consolver_tpu.data.group import repeat_random_sample_groups
 from consolver_tpu.models.vae import decode_latents
 from consolver_tpu.pipelines.t2i import TextToImagePipeline
 from consolver_tpu.rl import ppo
@@ -52,6 +52,12 @@ class TrainConfig:
     # train steps.  Production runs 3001 steps (run_ppo.sh), so per-count is
     # the default; turn this on for short runs/sweeps (< ~1300 steps).
     padded_rollout: bool = False
+    # Group count for the GRPO batch: the reference's DDP run forms one
+    # independent prompt group PER RANK (each rank's repeat_random_sample +
+    # its own advantage normalization, train_ppo.py:337,376 /
+    # edit_ppo/train_ppo.py:258-326).  None = one group per data shard when
+    # a mesh is present, else 1.
+    num_groups: Optional[int] = None
     # micro-batch the VAE decodes inside the jitted reward program (lax.map
     # over chunks — the reference decodes in micro-batches of 8,
     # utils.py:6-34).  None = whole-batch fused decode; the production
@@ -80,6 +86,14 @@ class PPOTrainer(CheckpointMixin):
         self.reward_fn = reward_fn
         self.config = config
         self.mesh = mesh
+
+        if mesh is not None:
+            from consolver_tpu.dist import mesh as meshlib
+
+            default_groups = meshlib.data_axis_size(mesh)
+        else:
+            default_groups = 1
+        self.num_groups = config.num_groups or default_groups
 
         self.factor_net = pipeline.factor_net
         self.params = pipeline.factor_params
@@ -115,7 +129,8 @@ class PPOTrainer(CheckpointMixin):
         )
         rewards = self.reward_fn(pred, target)
         adv = ppo.group_advantages(
-            rewards.reshape(-1), self.config.ppo.advantage_scale
+            rewards.reshape(-1), self.config.ppo.advantage_scale,
+            num_groups=self.num_groups,
         )
         return rewards, adv
 
@@ -133,7 +148,7 @@ class PPOTrainer(CheckpointMixin):
         ``latent`` (teacher final latent) [B, h, w, c], and ``prompt_ids``
         [B, S]  (group-repeat happens here, train_ppo.py:337)."""
         cfg = self.config
-        batch = repeat_random_sample(batch, self._host_rng)
+        batch = repeat_random_sample_groups(batch, self._host_rng, self.num_groups)
         num_inference = self._num_inference_for_step(self.global_step)
 
         if self.mesh is not None:

@@ -6,8 +6,9 @@ trainer (rl/train.py), reproduced from the reference:
   * inference-step count drawn in [2, 6) deterministically per step
     (replaces the rank-0 broadcast, edit_ppo/train_ppo.py:275-283);
   * an extra BASELINE rollout with the naive Euler FM solver on one sample
-    (:290-300) whose reward clips the group mean from below in the
-    advantage (:316-326) — no x10 scaling;
+    PER GROUP (:290-300 — the reference computes it per rank) whose reward
+    clips that group's mean from below in the advantage (:316-326) — no
+    x10 scaling;
   * ppo_epochs=4 (run_ppo.sh), group batch includes the reference image;
   * optional per-step sample dumps labeled with the advantage (:404-416);
   * mesh data-parallelism: the reference's FLUX trainer is the 8-way DDP
@@ -27,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from consolver_tpu.data.group import repeat_random_sample
+from consolver_tpu.data.group import repeat_random_sample_groups
 from consolver_tpu.pipelines.edit import FluxKontextPipeline
 from consolver_tpu.rl import ppo
 from consolver_tpu.rl.train import TrainConfig
@@ -52,6 +53,17 @@ class EditPPOTrainer(CheckpointMixin):
         self.config = config
         self.mesh = mesh
         self.dump_samples_to = dump_samples_to
+
+        if mesh is not None:
+            from consolver_tpu.dist import mesh as meshlib
+
+            default_groups = meshlib.data_axis_size(mesh)
+        else:
+            default_groups = 1
+        # one independent prompt group (and one Euler baseline) per data
+        # shard, like the reference's per-rank groups
+        # (edit_ppo/train_ppo.py:258-326)
+        self.num_groups = config.num_groups or default_groups
 
         self.params = pipeline.factor_params
         self.optimizer = ppo.make_optimizer(config.ppo)
@@ -98,7 +110,7 @@ class EditPPOTrainer(CheckpointMixin):
         (teacher final latents) [B,h,w,16], ``ref_image`` [B,H,W,3] in
         [-1,1], ``t5_ids`` [B,S], ``clip_ids`` [B,S]."""
         cfg = self.config
-        batch = repeat_random_sample(batch, self._host_rng)
+        batch = repeat_random_sample_groups(batch, self._host_rng, self.num_groups)
         num_inference = self._num_inference_for_step(self.global_step)
         key = jax.random.fold_in(jax.random.key(cfg.seed), self.global_step)
         # distinct streams for the baseline vs policy rollouts: the Euler
@@ -112,21 +124,25 @@ class EditPPOTrainer(CheckpointMixin):
         noise = jnp.asarray(batch["noise"])
         target = jnp.asarray(batch["latent"])
 
+        # --- baseline rollouts: naive Euler on ONE sample PER GROUP
+        # (:290-300 runs per rank) — row g*gs is every row of group g, so
+        # the strided slice is each group's sample ---
+        gs = noise.shape[0] // self.num_groups
+        base_in = (t5_ids[::gs], clip_ids[::gs], ref_image[::gs], noise[::gs])
+
         if self.mesh is not None:
             from consolver_tpu.dist import mesh as meshlib
 
-            # group batch shards over the data axis; the 1-sample baseline
-            # rollout stays replicated (it cannot shard)
+            # group batch shards over the data axis (groups align with the
+            # contiguous device shards); the [G]-row baseline batch shards
+            # one-per-device when G divides the axis, else replicates
             t5_ids, clip_ids, ref_image, noise, target = meshlib.shard_batch(
                 self.mesh, (t5_ids, clip_ids, ref_image, noise, target)
             )
-
-        # --- baseline rollout: naive Euler on ONE sample (:290-300) ---
-        base_in = (t5_ids[:1], clip_ids[:1], ref_image[:1], noise[:1])
-        if self.mesh is not None:
-            from consolver_tpu.dist import mesh as meshlib
-
-            base_in = meshlib.replicate(self.mesh, base_in)
+            if self.num_groups % meshlib.data_axis_size(self.mesh) == 0:
+                base_in = meshlib.shard_batch(self.mesh, base_in)
+            else:
+                base_in = meshlib.replicate(self.mesh, base_in)
         base_latents, _ = self.pipe(
             base_key, *base_in,
             num_inference_steps=num_inference,
@@ -146,8 +162,10 @@ class EditPPOTrainer(CheckpointMixin):
         base_img = self.pipe.decode_latents(base_latents)
 
         rewards = self.reward_fn(pred_img, target_img).reshape(-1)
-        base_reward = self.reward_fn(base_img, target_img[:1]).reshape(-1)[0]
-        advantages = ppo.baseline_clipped_advantages(rewards, base_reward)
+        base_reward = self.reward_fn(base_img, target_img[::gs]).reshape(-1)
+        advantages = ppo.baseline_clipped_advantages(
+            rewards, base_reward, num_groups=self.num_groups
+        )
 
         conds, actions, old_probs, adv = ppo.flatten_trajectory(traj, advantages)
         if self.mesh is not None:
@@ -170,7 +188,7 @@ class EditPPOTrainer(CheckpointMixin):
         out = {k: float(v) for k, v in metrics.items()}
         out.update(
             reward=float(rewards.mean()),
-            baseline_reward=float(base_reward),
+            baseline_reward=float(base_reward.mean()),
             num_inference=num_inference,
         )
         return out

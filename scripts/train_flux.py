@@ -110,25 +110,37 @@ def main():
     from consolver_tpu.utils.logging import MetricLogger
     from scripts.train_sd15 import build_reward
 
+    from consolver_tpu.dist import mesh as meshlib
+
     cfg = parse_cli()
     fnet = FactorNet(cfg.factor_net)
     fparams = fnet.init(jax.random.key(cfg.train.seed))
     pipe = build_pipeline(cfg, fnet, fparams)
     reward_fn = build_reward(cfg)
 
+    # topology from config (edit_ppo/run_ppo.sh:5 runs 8-way DDP): one
+    # prompt group + one Euler baseline per data shard, grads psum-averaged
+    mesh = meshlib.mesh_from_config(
+        cfg.dist.data_parallel, cfg.dist.model_parallel
+    )
     trainer = EditPPOTrainer(
-        pipe, reward_fn, cfg.train,
+        pipe, reward_fn, cfg.train, mesh=mesh,
         dump_samples_to=os.path.join(cfg.train.output_dir, "samples"),
     )
     trainer.resume_from_checkpoint("latest")
     logger = MetricLogger(cfg.train.output_dir, config=dataclasses.asdict(cfg))
     dataset = TeacherDataset(cfg.data.train_data_dir)
+    # data.batch_size is PER SHARD (10/process in edit_ppo/run_ppo.sh);
+    # global batch = per-shard x shards (80 at the production topology)
+    global_batch = cfg.data.batch_size * (
+        meshlib.data_axis_size(mesh) if mesh is not None else 1
+    )
 
     def batches():
         epoch = 0
         while True:
             yield from dataset.batches(
-                cfg.data.batch_size, seed=epoch, shuffle=cfg.data.shuffle
+                global_batch, seed=epoch, shuffle=cfg.data.shuffle
             )
             epoch += 1
 

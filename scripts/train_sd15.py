@@ -154,22 +154,34 @@ def main():
     from consolver_tpu.rl.train import PPOTrainer
     from consolver_tpu.utils.logging import MetricLogger
 
+    from consolver_tpu.dist import mesh as meshlib
+
     cfg = parse_cli()
     fnet = FactorNet(cfg.factor_net)
     fparams = fnet.init(jax.random.key(cfg.train.seed))
     pipe = build_pipeline(cfg, fnet, fparams)
     reward_fn = build_reward(cfg)
 
-    trainer = PPOTrainer(pipe, reward_fn, cfg.train)
+    # topology from config (run_ppo.sh:5 --num_processes equivalent): the
+    # group batch shards over the data axis, one prompt group per shard
+    mesh = meshlib.mesh_from_config(
+        cfg.dist.data_parallel, cfg.dist.model_parallel
+    )
+    trainer = PPOTrainer(pipe, reward_fn, cfg.train, mesh=mesh)
     trainer.resume_from_checkpoint("latest")
     logger = MetricLogger(cfg.train.output_dir, config=dataclasses.asdict(cfg))
 
     dataset = TeacherDataset(cfg.data.train_data_dir)
+    # data.batch_size is PER SHARD (the reference's per-process
+    # train_batch_size); the dataset yields the global batch
+    global_batch = cfg.data.batch_size * (
+        meshlib.data_axis_size(mesh) if mesh is not None else 1
+    )
 
     def batches():
         epoch = 0
         while True:
-            yield from dataset.batches(cfg.data.batch_size, seed=epoch, shuffle=cfg.data.shuffle)
+            yield from dataset.batches(global_batch, seed=epoch, shuffle=cfg.data.shuffle)
             epoch += 1
 
     trainer.fit(batches(), log_fn=logger.log)

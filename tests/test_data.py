@@ -172,3 +172,44 @@ def test_edit_teacher_chain_feeds_trainer(tmp_path):
         {k: v for k, v in batch.items() if k != "instruction"}
     )
     assert np.isfinite(metrics["loss"]) and np.isfinite(metrics["reward"])
+
+
+class TestGroupConstruction:
+    """repeat_random_sample_groups: the per-rank group structure of the
+    reference's DDP runs (edit_ppo/train_ppo.py:258-326)."""
+
+    def test_single_group_tiles_one_sample(self):
+        import random
+
+        from consolver_tpu.data.group import repeat_random_sample
+
+        batch = {"x": np.arange(12).reshape(4, 3)}
+        out = repeat_random_sample(batch, random.Random(0))
+        assert out["x"].shape == (4, 3)
+        assert (out["x"] == out["x"][0]).all()
+
+    def test_groups_are_independent_tiles(self):
+        import random
+
+        from consolver_tpu.data.group import repeat_random_sample_groups
+
+        batch = {"x": np.arange(8)[:, None] * np.ones((1, 3))}
+        out = repeat_random_sample_groups(batch, random.Random(3), 4)
+        x = out["x"]
+        assert x.shape == (8, 3)
+        for g in range(4):
+            chunk = x[2 * g : 2 * g + 2]
+            # tiled within the group...
+            assert (chunk == chunk[0]).all()
+            # ...and drawn from the group's own contiguous shard
+            assert 2 * g <= chunk[0, 0] < 2 * g + 2
+
+    def test_indivisible_batch_raises(self):
+        import random
+
+        from consolver_tpu.data.group import repeat_random_sample_groups
+
+        with pytest.raises(ValueError):
+            repeat_random_sample_groups(
+                {"x": np.zeros((5, 2))}, random.Random(0), 2
+            )

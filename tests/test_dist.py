@@ -142,6 +142,9 @@ def test_trainer_with_mesh_matches_single_device(tmp_path):
         cfg = TrainConfig(
             min_inference_steps=3, max_inference_steps=4, seed=11,
             output_dir=str(tmp_path), ppo=PPOConfig(ppo_epochs=1, learning_rate=1e-3),
+            # pin the group structure so mesh and single-device trainers run
+            # the identical computation (mesh would default to 8 groups)
+            num_groups=2,
         )
         return PPOTrainer(pipe, make_reward_fn("image_psnr"), cfg, mesh=mesh)
 
@@ -178,3 +181,21 @@ def test_hybrid_mesh_falls_back_on_single_slice():
     x = meshlib.shard_batch(m, jnp.arange(8.0).reshape(2, 4))
     got = jax.jit(lambda v: (v * 2).sum())(x)
     assert float(got) == float(jnp.arange(8.0).sum() * 2)
+
+
+def test_mesh_from_config():
+    """configs.DistConfig -> mesh: clamps to visible devices, honors the
+    model axis, returns None for 1x1."""
+    assert meshlib.mesh_from_config(1, 1) is None
+    m = meshlib.mesh_from_config(8)
+    assert m.shape == {"data": 8}
+    m2 = meshlib.mesh_from_config(4, 2)
+    assert m2.shape == {"data": 4, "model": 2}
+    # clamp: 64 requested shards -> the 8 visible virtual devices
+    warnings = []
+    m3 = meshlib.mesh_from_config(64, 1, warn=warnings.append)
+    assert m3.shape == {"data": 8} and warnings
+    # model axis that does not divide the devices is dropped with a warning
+    warnings.clear()
+    m4 = meshlib.mesh_from_config(8, 3, warn=warnings.append)
+    assert m4.shape == {"data": 8} and warnings

@@ -16,21 +16,73 @@ from consolver_tpu.rewards.metrics import image_psnr_reward
 
 
 class TestConfig:
-    def test_presets_match_reference_scripts(self):
-        sd = ExperimentConfig.sd15_ppo()
-        assert sd.factor_net.order_dim == 4 and sd.factor_net.scaler_dim == 0
-        assert sd.factor_net.num_actions == 11
-        assert sd.train.ppo.learning_rate == 1e-4
-        assert sd.train.ppo.ppo_epochs == 1
-        assert sd.reward.reward_type == "depth"
-        assert sd.data.batch_size == 80
+    # Row-by-row transcription of the production launch scripts
+    # (run_ppo.sh:5-33 and edit_ppo/run_ppo.sh:5-32): dotted config path ->
+    # the flag value the reference passes.
+    SD15_RUN_PPO_SH = {
+        "model.resolution": 512,                  # --resolution=512
+        "train.ppo.learning_rate": 1e-4,          # --learning_rate=1e-4
+        "train.ppo.weight_decay": 1e-3,           # --adam_weight_decay=1e-3
+        "train.max_train_steps": 3001,            # --max_train_steps=3001
+        "train.checkpointing_steps": 100,         # --checkpointing_steps=100
+        "train.checkpoints_total_limit": 20,      # --checkpoints_total_limit=20
+        "data.batch_size": 80,                    # --train_batch_size=80
+        "train.guidance_scale": 3.0,              # --cfg=3
+        "train.seed": 453645634,                  # --seed=453645634
+        "factor_net.order_dim": 4,                # --order_dim=4
+        "factor_net.scaler_dim": 0,               # --scaler_dim=0
+        "train.ppo.ppo_epochs": 1,                # --ppo_epochs=1
+        "factor_net.hidden_dim": 256,             # --factor_hidden_dim=256
+        "factor_net.num_actions": 11,             # --factor_num_actions=11
+        "reward.reward_type": "depth",            # --reward_type="depth"
+        "dist.data_parallel": 1,                  # --num_processes=1
+    }
+    FLUX_RUN_PPO_SH = {
+        "model.resolution": 1024,                 # --resolution=1024
+        "train.ppo.learning_rate": 1e-3,          # --learning_rate=1e-3
+        "train.ppo.weight_decay": 1e-3,           # --adam_weight_decay=1e-3
+        "train.max_train_steps": 1001,            # --max_train_steps=1001
+        "train.checkpointing_steps": 100,         # --checkpointing_steps=100
+        "train.checkpoints_total_limit": 20,      # --checkpoints_total_limit=20
+        "data.batch_size": 10,                    # --train_batch_size=10 (/proc)
+        "train.seed": 453645634,                  # --seed=453645634
+        "factor_net.order_dim": 2,                # --order_dim=2
+        "factor_net.scaler_dim": 0,               # --scaler_dim=0
+        "train.ppo.ppo_epochs": 4,                # --ppo_epochs=4
+        "train.guidance_scale": 2.5,              # --cfg=2.5
+        "factor_net.hidden_dim": 256,             # --factor_hidden_dim=256
+        "factor_net.num_actions": 11,             # --factor_num_actions=11
+        "reward.reward_type": "dino",             # --reward_type="dino"
+        "dist.data_parallel": 8,                  # --num_processes=8
+    }
 
-        fx = ExperimentConfig.flux_ppo()
-        assert fx.factor_net.order_dim == 2 and fx.factor_net.family == "fm"
-        assert fx.train.ppo.ppo_epochs == 4
-        assert fx.train.guidance_scale == 2.5
-        assert fx.train.max_inference_steps == 6
-        assert fx.reward.reward_type == "dino"
+    @staticmethod
+    def _get(cfg, dotted):
+        for part in dotted.split("."):
+            cfg = getattr(cfg, part)
+        return cfg
+
+    def test_sd15_preset_matches_run_ppo_sh(self):
+        cfg = ExperimentConfig.sd15_ppo()
+        mismatches = {
+            k: (self._get(cfg, k), v)
+            for k, v in self.SD15_RUN_PPO_SH.items()
+            if self._get(cfg, k) != v
+        }
+        assert not mismatches, f"preset != run_ppo.sh: {mismatches}"
+        assert cfg.factor_net.family == "sd"
+
+    def test_flux_preset_matches_run_ppo_sh(self):
+        cfg = ExperimentConfig.flux_ppo()
+        mismatches = {
+            k: (self._get(cfg, k), v)
+            for k, v in self.FLUX_RUN_PPO_SH.items()
+            if self._get(cfg, k) != v
+        }
+        assert not mismatches, f"preset != edit_ppo/run_ppo.sh: {mismatches}"
+        assert cfg.factor_net.family == "fm"
+        assert cfg.train.min_inference_steps == 2   # train_ppo.py:277 range(2, 6)
+        assert cfg.train.max_inference_steps == 6
 
     def test_overrides(self):
         cfg = apply_overrides(

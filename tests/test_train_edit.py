@@ -65,6 +65,9 @@ def test_edit_trainer_mesh_matches_single_device(pipe, tmp_path):  # noqa: F811
         config = TrainConfig(
             min_inference_steps=2, max_inference_steps=3, seed=5,
             output_dir=out, ppo=PPOConfig(ppo_epochs=1, learning_rate=1e-3),
+            # pin the group structure so mesh and single-device trainers run
+            # the identical computation (mesh would default to 8 groups)
+            num_groups=2,
         )
         return EditPPOTrainer(pipe, make_reward_fn("image_psnr"), config, mesh=mesh)
 
