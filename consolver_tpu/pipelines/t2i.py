@@ -27,18 +27,22 @@ from consolver_tpu.policy.factor_net import FactorNet
 @dataclasses.dataclass(frozen=True)
 class Trajectory:
     """Stacked per-step PPO records, shaped [B, steps-1, ...] to match the
-    reference's `if i > 0` recording (denoise_ppo.py:105-120)."""
+    reference's `if i > 0` recording (denoise_ppo.py:105-120).
+
+    ``valid`` marks real (non-pad) rows of a padded rollout
+    (make_padded_denoise_fn); None means every row is real."""
 
     conds_x: jax.Array  # [B, S-1, 2]
     actions: jax.Array  # [B, S-1, A]
     probs: jax.Array  # [B, S-1, A]
     masks: jax.Array  # [B, S-1, A]
     conds_eps: Optional[jax.Array] = None  # [B, S-1, order_dim, ...] if use_conv
+    valid: Optional[jax.Array] = None  # [B, S-1]
 
 
 jax.tree_util.register_dataclass(
     Trajectory,
-    data_fields=["conds_x", "actions", "probs", "masks", "conds_eps"],
+    data_fields=["conds_x", "actions", "probs", "masks", "conds_eps", "valid"],
     meta_fields=[],
 )
 
@@ -214,9 +218,10 @@ def make_padded_denoise_fn(
     Trade-off vs per-count programs, measured on the real chip by
     scripts/probe_padded.py: one compile instead of 14
     (train_ppo.py:345 randomizes steps in [2,16)), but every rollout pays
-    max_steps UNet forwards.  Semantic deviation recorded: the entropy
-    bonus averages over pad rows too (the reference's masks also gate only
-    the advantage, train_ppo.py:377-390).
+    max_steps UNet forwards.  The trajectory carries the valid-row flags so
+    the PPO loss excludes pad rows from BOTH the surrogate and the entropy
+    means (ppo.ppo_loss weighted means) — the padded program is
+    semantically identical to the per-count one on valid steps.
 
     Returned fn: (unet_params, factor_params, key, noise, context,
     uncond_context, ts[M], prev_ts[M], valid[M]) -> (latents, Trajectory).
@@ -297,7 +302,8 @@ def make_padded_denoise_fn(
                 ),
                 st, st0,
             )
-            record = (conds_x, actions, probs, masks) + (
+            valid_row = jnp.broadcast_to(v, (batch,))
+            record = (conds_x, actions, probs, masks, valid_row) + (
                 (st.ets,) if use_conv else ()
             )
             return (st, latents, k), record
@@ -317,7 +323,8 @@ def make_padded_denoise_fn(
             actions=to_traj(records[1]),
             probs=to_traj(records[2]),
             masks=to_traj(records[3]),
-            conds_eps=to_traj(records[4]) if use_conv else None,
+            conds_eps=to_traj(records[5]) if use_conv else None,
+            valid=to_traj(records[4]),
         )
         return latents, traj
 

@@ -73,12 +73,14 @@ def baseline_clipped_advantages(
 
 def flatten_trajectory(
     traj: Trajectory, advantages: jax.Array
-) -> Tuple[Dict[str, jax.Array], jax.Array, jax.Array, jax.Array]:
+) -> Tuple[Dict[str, jax.Array], jax.Array, jax.Array, jax.Array, jax.Array]:
     """[B, S-1, ...] trajectory -> flat [B*(S-1), ...] PPO batch with the
     advantage broadcast over steps and masked (train_ppo.py:377-390).
 
-    Returns (conds, actions, old_probs, masked_advantages[N, A]).
-    """
+    Returns (conds, actions, old_probs, masked_advantages[N, A],
+    valid[N, 1]).  ``valid`` marks real rows of a padded rollout (all-ones
+    otherwise); ppo_loss excludes pad rows from its means so the padded
+    program is semantically identical to the per-count one."""
     b, s = traj.actions.shape[:2]
     n = b * s
 
@@ -92,7 +94,12 @@ def flatten_trajectory(
     old_probs = flat(traj.probs)
     masks = flat(traj.masks)
     adv = jnp.repeat(advantages.reshape(b, 1), s, axis=1).reshape(n, 1)
-    return conds, actions, old_probs, adv * masks
+    valid = (
+        jnp.ones((n, 1), jnp.float32)
+        if traj.valid is None
+        else flat(traj.valid).reshape(n, 1).astype(jnp.float32)
+    )
+    return conds, actions, old_probs, adv * masks, valid
 
 
 def ppo_loss(
@@ -104,20 +111,37 @@ def ppo_loss(
     advantages: jax.Array,
     clip_range: float = 0.2,
     entropy_coef: float = 0.01,
+    valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Clipped-surrogate loss with joint log-probs (train_ppo.py:406-427)."""
+    """Clipped-surrogate loss with joint log-probs (train_ppo.py:406-427).
+
+    ``valid`` [N, 1] weights rows in every mean — pad rows of a padded
+    rollout contribute to neither the surrogate nor the entropy bonus, so
+    the loss (and its gradients) equal the per-count program's on the real
+    rows.  None = unweighted means (all rows real, the reference's case)."""
     curr_probs, entropy = factor_net.get_action_probs(params, conds, actions)
     log_probs = jnp.log(curr_probs + 1e-9).sum(axis=1, keepdims=True)
     old_log_probs = jnp.log(old_probs + 1e-9).sum(axis=1, keepdims=True)
     ratio = jnp.exp(log_probs - old_log_probs)
     clipped_ratio = jnp.clip(ratio, 1 - clip_range, 1 + clip_range)
-    policy_loss = -jnp.minimum(advantages * ratio, advantages * clipped_ratio).mean()
-    entropy_loss = -entropy_coef * entropy.mean()
+    surrogate = -jnp.minimum(advantages * ratio, advantages * clipped_ratio)
+
+    if valid is None:
+        policy_loss = surrogate.mean()
+        entropy_mean = entropy.mean()
+        ratio_mean = ratio.mean()
+    else:
+        w = valid.reshape(-1, 1).astype(surrogate.dtype)
+        n_rows = jnp.maximum(w.sum(), 1.0)
+        policy_loss = (surrogate * w).sum() / (n_rows * surrogate.shape[1])
+        entropy_mean = (entropy * w).sum() / (n_rows * entropy.shape[1])
+        ratio_mean = (ratio * w).sum() / n_rows
+    entropy_loss = -entropy_coef * entropy_mean
     loss = policy_loss + entropy_loss
     return loss, {
         "policy_loss": policy_loss,
-        "entropy": entropy.mean(),
-        "ratio_mean": ratio.mean(),
+        "entropy": entropy_mean,
+        "ratio_mean": ratio_mean,
         "loss": loss,
     }
 
@@ -146,11 +170,12 @@ def make_update_fn(
     """Build the jitted PPO update.  ``grad_sync`` hooks in the cross-device
     psum mean for data-parallel training (dist.mesh)."""
 
-    def update(params, opt_state, conds, actions, old_probs, advantages):
+    def update(params, opt_state, conds, actions, old_probs, advantages,
+               valid=None):
         def loss_fn(p):
             return ppo_loss(
                 factor_net, p, conds, actions, old_probs, advantages,
-                config.clip_range, config.entropy_coef,
+                config.clip_range, config.entropy_coef, valid=valid,
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -75,7 +75,7 @@ class EditPPOTrainer(CheckpointMixin):
             from consolver_tpu.dist.tp import FLUX_TP_RULES, shard_params_by_rules
 
             self._update = meshlib.data_parallel_jit(
-                update, mesh, batch_argnums=(2, 3, 4, 5)
+                update, mesh, batch_argnums=(2, 3, 4, 5, 6)
             )
             self.params = meshlib.replicate(mesh, self.params)
             self.opt_state = meshlib.replicate(mesh, self.opt_state)
@@ -167,17 +167,20 @@ class EditPPOTrainer(CheckpointMixin):
             rewards, base_reward, num_groups=self.num_groups
         )
 
-        conds, actions, old_probs, adv = ppo.flatten_trajectory(traj, advantages)
+        conds, actions, old_probs, adv, valid = ppo.flatten_trajectory(
+            traj, advantages
+        )
         if self.mesh is not None:
             from consolver_tpu.dist import mesh as meshlib
 
-            conds, actions, old_probs, adv = meshlib.shard_batch(
-                self.mesh, (conds, actions, old_probs, adv)
+            conds, actions, old_probs, adv, valid = meshlib.shard_batch(
+                self.mesh, (conds, actions, old_probs, adv, valid)
             )
         metrics = {}
         for _ in range(cfg.ppo.ppo_epochs):
             self.params, self.opt_state, metrics = self._update(
-                self.params, self.opt_state, conds, actions, old_probs, adv
+                self.params, self.opt_state, conds, actions, old_probs, adv,
+                valid,
             )
         self.pipe.factor_params = self.params
 

@@ -76,10 +76,13 @@ def test_dp_update_matches_single_device():
     old_probs = jnp.full((n, 3), 1 / 11)
     adv = jnp.asarray(rng.standard_normal((n, 1)).astype(np.float32)) * jnp.ones((n, 3))
 
-    p_ref, _, aux_ref = jax.jit(update)(params, opt_state, conds, actions, old_probs, adv)
+    valid = jnp.ones((n, 1), jnp.float32)
+    p_ref, _, aux_ref = jax.jit(update)(
+        params, opt_state, conds, actions, old_probs, adv, valid
+    )
 
     m = meshlib.make_mesh()
-    dp_update = meshlib.data_parallel_jit(update, m, batch_argnums=(2, 3, 4, 5))
+    dp_update = meshlib.data_parallel_jit(update, m, batch_argnums=(2, 3, 4, 5, 6))
     p_dp, _, aux_dp = dp_update(
         meshlib.replicate(m, params),
         meshlib.replicate(m, opt_state),
@@ -87,6 +90,7 @@ def test_dp_update_matches_single_device():
         meshlib.shard_batch(m, actions),
         meshlib.shard_batch(m, old_probs),
         meshlib.shard_batch(m, adv),
+        meshlib.shard_batch(m, valid),
     )
 
     np.testing.assert_allclose(float(aux_ref["loss"]), float(aux_dp["loss"]), rtol=1e-5)

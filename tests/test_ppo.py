@@ -108,13 +108,17 @@ def test_flatten_trajectory():
         ),
     )
     advantages = jnp.asarray([1.0, -2.0])
-    conds, actions, old_probs, adv = ppo.flatten_trajectory(traj, advantages)
+    conds, actions, old_probs, adv, valid = ppo.flatten_trajectory(
+        traj, advantages
+    )
     assert conds["x"].shape == (b * s, 2)
     assert actions.shape == (b * s, a)
     assert adv.shape == (b * s, a)
     # advantage broadcast per sample over steps, zeroed where masked
     np.testing.assert_allclose(np.asarray(adv[0]), [0, 1, 1, 1])
     np.testing.assert_allclose(np.asarray(adv[3]), [0, -2, -2, -2])
+    # no valid flags recorded -> every row is real
+    np.testing.assert_allclose(np.asarray(valid), np.ones((b * s, 1)))
 
 
 def _bandit_setup(seed=0):
