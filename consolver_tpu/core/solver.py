@@ -253,13 +253,28 @@ def fm_per_token_update(
     sample/velocity: [B, S, C]; per_token_timesteps: [B, S] in train-timestep
     units; sigma_ladder: [L] descending inference sigmas (with terminal 0).
     """
+    per_token_sigmas, lower_sigmas = per_token_sigma_pair(
+        per_token_timesteps, sigma_ladder, num_train_timesteps
+    )
+    dt = (lower_sigmas - per_token_sigmas)[..., None]
+    return (sample.astype(jnp.float32) + dt * velocity.astype(jnp.float32)).astype(
+        sample.dtype
+    )
+
+
+def per_token_sigma_pair(
+    per_token_timesteps: jax.Array,
+    sigma_ladder: jax.Array,
+    num_train_timesteps: int = 1000,
+) -> tuple[jax.Array, jax.Array]:
+    """(current, next) sigmas for the per-token branch
+    (scheduler_fmppo.py:364-371): each token's next sigma is the largest
+    ladder entry strictly below its current sigma (0 when already at the
+    terminal).  Shapes: per_token_timesteps [B, S] -> both outputs [B, S]."""
     per_token_sigmas = per_token_timesteps.astype(jnp.float32) / num_train_timesteps
     ladder = sigma_ladder.astype(jnp.float32)  # [L]
     lower_mask = ladder[:, None, None] < per_token_sigmas[None] - 1e-6  # [L, B, S]
     lower_sigmas = jnp.max(
         jnp.where(lower_mask, ladder[:, None, None], 0.0), axis=0
     )  # [B, S]
-    dt = (lower_sigmas - per_token_sigmas)[..., None]
-    return (sample.astype(jnp.float32) + dt * velocity.astype(jnp.float32)).astype(
-        sample.dtype
-    )
+    return per_token_sigmas, lower_sigmas

@@ -31,6 +31,7 @@ def make_fm_denoise_fn(
     num_inference_steps: int,
     mu: Optional[float] = None,
     record_trajectory: bool = True,
+    per_token: bool = False,
 ):
     """Learnable-FM denoise scan (FMPPOScheduler.step semantics,
     edit_ppo/scheduler_fmppo.py:306-455).
@@ -39,7 +40,17 @@ def make_fm_denoise_fn(
     Returned fn: (model_params, factor_params, key, noise, cond) ->
     (final latents, Trajectory or None).  conds x = [sigma_t, sigma_next]
     (:383); update x <- x + dt*v_hat with dt = sigma_next - sigma_t (:429).
-    """
+
+    ``per_token=True`` exposes the Mochi-style per-token-timesteps branch
+    (scheduler_fmppo.py:363-371, production-unused): the returned fn takes
+    an extra trailing ``per_token_timesteps`` [B, S] argument (noise must
+    be token-major [B, S, C]); each token integrates from its own sigma to
+    the largest ladder sigma strictly below it, and the carried per-token
+    timesteps descend the ladder independently.  The policy conds keep the
+    ladder sigma pair (the reference's per-token conds construction is
+    ill-defined for tensor sigmas) and the velocity model is conditioned
+    on the ladder timestep.  With ``per_token=False`` the traced program
+    is unchanged."""
     if factor_net is None:
         order_dim, scaler_dim, action_dims = 1, 0, 1
     else:
@@ -51,15 +62,21 @@ def make_fm_denoise_fn(
     sigmas, timesteps = schedules.fm_sigmas(fm_config, num_inference_steps, mu=mu)
     sig_t = jnp.asarray(sigmas[:-1])
     sig_next = jnp.asarray(sigmas[1:])
+    ladder = jnp.asarray(sigmas)
     ts = jnp.asarray(timesteps)
+    n_train = fm_config.num_train_timesteps
 
     @jax.jit
-    def denoise(model_params, factor_params, key, noise, cond):
+    def denoise(model_params, factor_params, key, noise, cond,
+                per_token_timesteps=None):
         batch = noise.shape[0]
         state = solver.init_state(batch, order_dim, noise.shape[1:])
 
         def body(carry, xs):
-            st, x, k = carry
+            if per_token:
+                st, x, k, ptts = carry
+            else:
+                st, x, k = carry
             t, s_t, s_next = xs
             v = velocity_fn(
                 model_params, x, jnp.broadcast_to(t, (batch,)), cond
@@ -84,13 +101,24 @@ def make_fm_denoise_fn(
             eff, x32 = solver.apply_scalers(eff, x32, scale_a.astype(jnp.float32))
             masks = solver.warmup_masks(st.num_ets, order_dim, action_dims, batch)
 
-            x_new = solver.fm_euler_update(x32, eff, s_next - s_t).astype(x.dtype)
             record = (conds_x, actions, probs, masks) + ((st.ets,) if use_conv else ())
+            if per_token:
+                cur_s, low_s = solver.per_token_sigma_pair(ptts, ladder, n_train)
+                dt = (low_s - cur_s)[..., None]
+                x_new = (x32 + dt * eff).astype(x.dtype)
+                return (st, x_new, k, low_s * n_train), record
+            x_new = solver.fm_euler_update(x32, eff, s_next - s_t).astype(x.dtype)
             return (st, x_new, k), record
 
-        (_, x, _), records = jax.lax.scan(
-            body, (state, noise, key), (ts, sig_t, sig_next)
-        )
+        if per_token:
+            init = (state, noise, key, jnp.asarray(per_token_timesteps, jnp.float32))
+            (_, x, _, _), records = jax.lax.scan(
+                init=init, xs=(ts, sig_t, sig_next), f=body
+            )
+        else:
+            (_, x, _), records = jax.lax.scan(
+                body, (state, noise, key), (ts, sig_t, sig_next)
+            )
         if not record_trajectory:
             return x, None
 
