@@ -100,4 +100,7 @@ def make_reward_fn(
         scores = judge(np.asarray(pred), np.asarray(target))
         return jnp.asarray(scores, jnp.float32)
 
+    # host callables cannot be traced: trainers must call this eagerly
+    # (PPOTrainer switches to its un-jitted decode-and-reward path)
+    vlm_reward.host_side = True
     return vlm_reward

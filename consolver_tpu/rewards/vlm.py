@@ -37,15 +37,27 @@ def parse_score(text: str) -> Optional[float]:
     return float(np.clip(float(m.group()), 0.0, 100.0))
 
 
+def parse_score_strict(text: str) -> Optional[float]:
+    """Qwen-path parse: ``float(generated_text)`` directly
+    (edit_ppo/reward_model.py:303-305) — any surrounding text is a parse
+    failure (retried), unlike the llava path's first-number regex."""
+    try:
+        return float(np.clip(float(text.strip()), 0.0, 100.0))
+    except ValueError:
+        return None
+
+
 def make_vlm_judge(
     generate_fn: Callable[[np.ndarray, np.ndarray, str], str],
     max_retries: int = 5,
     fallback_score: float = 50.0,
+    parse: Callable[[str], Optional[float]] = parse_score,
 ):
     """Build a RewardModel.vlm_judge from a raw generation callable.
 
     generate_fn(pred_image [H,W,3] in [0,1], target_image, prompt) -> text.
-    Retry-with-fallback mirrors reward_model.py:194-206,288-310.
+    Retry-with-fallback mirrors reward_model.py:194-206,288-310; ``parse``
+    selects the llava (regex) or qwen (strict float) score extraction.
     """
 
     def judge(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
@@ -58,7 +70,7 @@ def make_vlm_judge(
                 for _ in range(max_retries):
                     try:
                         text = generate_fn(pred[i], target[i], prompt)
-                        score = parse_score(text)
+                        score = parse(text)
                         if score is not None:
                             break
                     except Exception:
@@ -111,9 +123,76 @@ def load_transformers_generate_fn(model_path: str, device: str = "cpu"):
 
 
 def load_transformers_judge(model_path: str, device: str = "cpu"):
-    """Similarity judge (rewards) from a local checkpoint — the llava/qwen_vl
-    reward types (reward_model.py:164-214,259-317)."""
+    """Similarity judge (rewards) from a local checkpoint — the llava
+    reward type (reward_model.py:164-214)."""
     return make_vlm_judge(load_transformers_generate_fn(model_path, device))
+
+
+def load_transformers_qwen_generate_fn(
+    model_path: str, device: str = "cpu", resize: int = 224
+):
+    """Qwen2.5-VL-style two-image generation callable
+    (edit_ppo/reward_model.py:258-317).  Distinct from the llava glue:
+    images are resized to 224x224 first, embedded IN the chat messages
+    (``{"type": "image", "image": pil}``) and extracted via
+    qwen_vl_utils.process_vision_info when that package exists (falling
+    back to pulling the PILs straight out of the messages), and the chat
+    template is applied with ``tokenize=False``."""
+    from transformers import AutoModelForImageTextToText, AutoProcessor
+
+    processor = AutoProcessor.from_pretrained(model_path, local_files_only=True)
+    model = AutoModelForImageTextToText.from_pretrained(
+        model_path, local_files_only=True
+    ).to(device)
+
+    def generate_fn(pred: np.ndarray, target: np.ndarray, prompt: str) -> str:
+        import torch
+        from PIL import Image
+
+        imgs = [
+            Image.fromarray(
+                (np.clip(x, 0, 1) * 255).astype(np.uint8)
+            ).resize((resize, resize), Image.BILINEAR)
+            for x in (pred, target)
+        ]
+        messages = [
+            {
+                "role": "user",
+                "content": [
+                    {"type": "image", "image": imgs[0]},
+                    {"type": "image", "image": imgs[1]},
+                    {"type": "text", "text": prompt},
+                ],
+            }
+        ]
+        text = processor.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True
+        )
+        try:
+            from qwen_vl_utils import process_vision_info
+
+            image_inputs, _ = process_vision_info(messages)
+        except ImportError:
+            image_inputs = imgs
+        inputs = processor(
+            text=[text], images=image_inputs, padding=True, return_tensors="pt"
+        ).to(device)
+        with torch.no_grad():
+            out = model.generate(**inputs, max_new_tokens=5)
+        gen = out[0][inputs["input_ids"].shape[1] :]
+        return processor.batch_decode(gen[None], skip_special_tokens=True)[0].strip()
+
+    return generate_fn
+
+
+def load_transformers_qwen_judge(model_path: str, device: str = "cpu"):
+    """Qwen-variant similarity judge: qwen message format + 224x224 resize
+    + strict float parse — the qwen_vl reward type
+    (edit_ppo/reward_model.py:258-317)."""
+    return make_vlm_judge(
+        load_transformers_qwen_generate_fn(model_path, device),
+        parse=parse_score_strict,
+    )
 
 
 # EditScore-style instruction-following prompt (the role of the external

@@ -83,13 +83,13 @@ class CheckpointMixin:
             "opt_state": self._local_numpy(self.opt_state),
             "global_step": self.global_step,
         }
-        # multi-host: state is replicated (materialized locally above), so
-        # only process 0 writes (every host racing on the same orbax dir
-        # corrupts it)
-        if jax.process_index() != 0:
-            return path
+        # multi-host: EVERY process must enter orbax's coordinated save (it
+        # has an internal cross-process barrier — a process-0-only call
+        # deadlocks the cluster); orbax's primary_host=0 default makes
+        # process 0 the single writer.  Found by tests/test_multihost.py.
         ocp.PyTreeCheckpointer().save(path, payload, force=True)
-        self._enforce_total_limit()
+        if jax.process_index() == 0:
+            self._enforce_total_limit()
         return path
 
     def _enforce_total_limit(self):
@@ -137,7 +137,9 @@ class CheckpointMixin:
     def save_pretrained(self, output_dir: str) -> str:
         """Final policy export: factor-net params + config json (the
         reference's save_pretrained / model.ckpt, train_ppo.py:466-469).
-        Loadable via orbax restore + FactorNetConfig(**json)."""
+        Loadable via orbax restore + FactorNetConfig(**json).  The config
+        json (a raw host write) is process-0-gated; the orbax save itself
+        must run on every process."""
         import dataclasses
 
         import jax
@@ -145,9 +147,11 @@ class CheckpointMixin:
 
         path = os.path.abspath(os.path.join(output_dir, "factor_net"))
         payload = self._local_numpy(self.params)
+        # all processes join the coordinated save; orbax writes from
+        # primary host 0 only (see save_checkpoint)
+        ocp.PyTreeCheckpointer().save(path, payload, force=True)
         if jax.process_index() != 0:
             return path
-        ocp.PyTreeCheckpointer().save(path, payload, force=True)
         net = self.pipe.factor_net
         cfg = getattr(net, "config", None)
         if cfg is not None:

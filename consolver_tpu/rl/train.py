@@ -117,7 +117,17 @@ class PPOTrainer(CheckpointMixin):
             self.pipe.vae_params = meshlib.replicate(mesh, self.pipe.vae_params)
         else:
             self._update = jax.jit(update)
-        self._decode_and_reward = jax.jit(self._decode_and_reward_impl)
+        if getattr(reward_fn, "host_side", False):
+            # VLM-judge rewards are host callables (registry.make_reward_fn
+            # marks them): jit only the decodes, score eagerly
+            self._decode_and_reward = self._decode_and_reward_host
+            self._decode = jax.jit(
+                lambda vp, lat: decode_latents(
+                    self.pipe.vae, vp, lat, chunk=config.decode_chunk
+                )
+            )
+        else:
+            self._decode_and_reward = jax.jit(self._decode_and_reward_impl)
         self._host_rng = random.Random(config.seed)
 
     # ------------------------------------------------------------------
@@ -127,6 +137,18 @@ class PPOTrainer(CheckpointMixin):
         target = decode_latents(
             self.pipe.vae, vae_params, target_latents, chunk=chunk
         )
+        rewards = self.reward_fn(pred, target)
+        adv = ppo.group_advantages(
+            rewards.reshape(-1), self.config.ppo.advantage_scale,
+            num_groups=self.num_groups,
+        )
+        return rewards, adv
+
+    def _decode_and_reward_host(self, vae_params, pred_latents, target_latents):
+        """Eager variant for host-side (VLM-judge) reward callables
+        (reward_model.py:259-317 runs its judges on host too)."""
+        pred = self._decode(vae_params, pred_latents)
+        target = self._decode(vae_params, target_latents)
         rewards = self.reward_fn(pred, target)
         adv = ppo.group_advantages(
             rewards.reshape(-1), self.config.ppo.advantage_scale,

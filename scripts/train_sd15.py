@@ -141,6 +141,19 @@ def build_reward(cfg):
         vit = ViT(vit_cfg)
         params = load_orbax(cfg.reward.encoder_checkpoint)
         model = RewardModel(encode=make_encoder(vit, params, rtype))
+    elif rtype in ("llava", "qwen_vl") and cfg.reward.encoder_checkpoint:
+        # encoder_checkpoint doubles as the local VLM-judge checkpoint dir;
+        # the qwen variant uses its own message format + strict parse
+        # (edit_ppo/reward_model.py:258-317)
+        from consolver_tpu.rewards.vlm import (
+            load_transformers_judge, load_transformers_qwen_judge,
+        )
+
+        loader = (
+            load_transformers_qwen_judge if rtype == "qwen_vl"
+            else load_transformers_judge
+        )
+        model = RewardModel(vlm_judge=loader(cfg.reward.encoder_checkpoint))
     elif rtype != "image_psnr" and not cfg.reward.encoder_checkpoint:
         print(f"[smoke mode] reward {rtype!r} needs encoder_checkpoint; using image_psnr")
         rtype = "image_psnr"

@@ -180,3 +180,103 @@ def test_dino_vis_visualize():
     heat = visualize(vit, params, np.random.default_rng(0).random((64, 64, 3)))
     assert heat.shape == (2, 2, 3)  # 28/14 = 2x2 patch grid
     assert heat.min() >= 0 and heat.max() <= 1
+
+
+class TestQwenJudgeVariant:
+    """The qwen_vl judge path (edit_ppo/reward_model.py:258-317, VERDICT r2
+    item #7): its own message format, 224 resize, strict float parse."""
+
+    def test_parse_score_strict(self):
+        from consolver_tpu.rewards.vlm import parse_score_strict
+
+        assert parse_score_strict("85") == 85.0
+        assert parse_score_strict(" 42.5 ") == 42.5
+        assert parse_score_strict("150") == 100.0  # clamped
+        # the llava regex would accept these; the qwen float() path retries
+        assert parse_score_strict("Score: 85") is None
+        assert parse_score_strict("85 out of 100") is None
+        assert parse_score_strict("") is None
+
+    def test_strict_parse_flows_through_judge(self):
+        from consolver_tpu.rewards.vlm import make_vlm_judge, parse_score_strict
+
+        def generate(pred, target, prompt):
+            # parseable only by the regex parser -> qwen judge falls back
+            return "Score: 90"
+
+        qwen_judge = make_vlm_judge(
+            generate, max_retries=2, parse=parse_score_strict
+        )
+        llava_judge = make_vlm_judge(generate, max_retries=2)
+        imgs = np.zeros((1, 4, 4, 3))
+        np.testing.assert_allclose(qwen_judge(imgs, imgs), 50.0)   # fallback
+        np.testing.assert_allclose(llava_judge(imgs, imgs), 90.0)  # regex
+
+    @pytest.mark.slow
+    def test_transformers_qwen_judge_end_to_end(self, tiny_llava_ckpt):
+        """Drive the qwen glue (embedded-image messages, tokenize=False
+        template, 224 resize, strict parse) against the tiny local
+        checkpoint — qwen_vl_utils is absent in this image, exercising the
+        message-extraction fallback."""
+        from consolver_tpu.rewards.vlm import load_transformers_qwen_judge
+
+        judge = load_transformers_qwen_judge(tiny_llava_ckpt)
+        rng = np.random.default_rng(1)
+        scores = judge(
+            rng.uniform(size=(2, 32, 32, 3)).astype(np.float32),
+            rng.uniform(size=(2, 32, 32, 3)).astype(np.float32),
+        )
+        assert scores.shape == (2,)
+        assert np.isfinite(scores).all()
+        assert (scores >= 0).all() and (scores <= 100).all()
+
+    @pytest.mark.slow
+    def test_trainer_runs_with_host_judge_reward(self, tmp_path):
+        """A host-side VLM-judge reward trains through PPOTrainer's eager
+        decode-and-reward path (VERDICT r2 Weak #7: the judge reward was
+        untested in-training)."""
+        import jax
+
+        from consolver_tpu.core import schedules
+        from consolver_tpu.pipelines.t2i import TextToImagePipeline
+        from consolver_tpu.policy import FactorNet, FactorNetConfig
+        from consolver_tpu.rewards.registry import RewardModel, make_reward_fn
+        from consolver_tpu.rewards.vlm import make_vlm_judge
+        from consolver_tpu.rl.ppo import PPOConfig
+        from consolver_tpu.rl.train import PPOTrainer, TrainConfig
+        from tests.test_pipeline import make_tiny_stack
+
+        calls = {"n": 0}
+
+        def generate(pred, target, prompt):
+            calls["n"] += 1
+            assert isinstance(pred, np.ndarray)  # eager host call, no tracer
+            return str(40 + calls["n"] % 20)
+
+        reward_fn = make_reward_fn(
+            "llava", RewardModel(vlm_judge=make_vlm_judge(generate))
+        )
+        assert getattr(reward_fn, "host_side", False)
+
+        (unet, up), (te, tp), (vae, vp) = make_tiny_stack()
+        fnet = FactorNet(FactorNetConfig(
+            order_dim=3, scaler_dim=0, num_actions=11, family="sd"
+        ))
+        pipe = TextToImagePipeline(
+            unet, up, te, tp, vae, vp, schedules.DiffusionSchedule.sd15(),
+            factor_net=fnet, factor_params=fnet.init(jax.random.key(0)),
+        )
+        trainer = PPOTrainer(
+            pipe, reward_fn,
+            TrainConfig(min_inference_steps=2, max_inference_steps=3,
+                        output_dir=str(tmp_path), ppo=PPOConfig(ppo_epochs=1)),
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "noise": rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+            "latent": rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+            "prompt_ids": np.ones((2, 4), np.int64),
+        }
+        m = trainer.train_step(batch)
+        assert np.isfinite(m["loss"]) and np.isfinite(m["reward"])
+        assert calls["n"] > 0
