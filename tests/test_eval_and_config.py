@@ -361,3 +361,23 @@ def test_factor_ckpt_dims_flow_to_generation(tmp_path, monkeypatch):
     generate.main()
     import glob
     assert len(glob.glob(str(out / "*.png"))) == 2
+
+
+@pytest.mark.slow
+def test_generate_cli_eta_smoke(tmp_path, monkeypatch):
+    """scripts/generate.py --eta path (rebuilt on make_baseline_denoise_fn,
+    VERDICT r2 Weak #1): one compiled CFG-batched program across batches
+    with the key as a traced argument; tokenized-empty-prompt uncond."""
+    import sys
+
+    out = tmp_path / "results"
+    monkeypatch.setattr(sys, "argv", [
+        "generate.py", "--solver", "ddim", "--eta", "0.7", "--steps", "3",
+        "--out", str(out), "--max-prompts", "4", "--batch-size", "2",
+    ])
+    import scripts.generate as g
+
+    g.main()
+    import glob
+
+    assert len(glob.glob(str(out / "*.png"))) == 4
