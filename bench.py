@@ -56,8 +56,13 @@ def random_params_like(shapes, seed, dtype):
     )
 
 
-def build(quant: bool):
-    """Returns (preview_fn jitted, unet_params, vae_params, fparams)."""
+def build(quant: bool, skip_levels=()):
+    """Returns (preview_fn jitted, unet_params, vae_params, fparams).
+
+    ``skip_levels`` keeps those UNet resolution levels bf16 under quant —
+    the measured-fastest config skips level 0, where int8 convs lose to
+    bf16 on this chip (scripts/probe_requant.py: 122 vs 167 T/s at
+    64^2x320, but 1.96x at 16^2x1280)."""
     import jax
     import jax.numpy as jnp
 
@@ -92,7 +97,9 @@ def build(quant: bool):
         unet_params = random_params_like(shapes, 1, jnp.bfloat16)
 
     if quant:
-        qcfg = dataclasses.replace(ucfg, quant_int8=True)
+        qcfg = dataclasses.replace(
+            ucfg, quant_int8=True, quant_skip_levels=tuple(skip_levels)
+        )
         unet = UNet2DCondition(qcfg, dtype=jnp.bfloat16)
         qshapes = jax.eval_shape(
             unet.init, jax.random.key(0), jnp.zeros((1, HEIGHT, WIDTH, 4)),
@@ -200,16 +207,24 @@ def main():
 
     bf16_preview, bf16_up, bf16_vp, fparams = build(quant=False)
     int8_preview, int8_up, int8_vp, _ = build(quant=True)
+    # hybrid: level 0 stays bf16 (int8 convs lose at 64^2, probe_requant.py)
+    int8h_preview, int8h_up, int8h_vp, _ = build(quant=True, skip_levels=(0,))
 
-    psnr = quality_psnr(
-        int8_preview, int8_up, int8_vp, bf16_preview, bf16_up, bf16_vp, fparams
-    )
-    int8_ok = psnr >= QUALITY_GATE_PSNR_DB
+    configs = {
+        "bf16": (bf16_preview, bf16_up, bf16_vp),
+        "int8": (int8_preview, int8_up, int8_vp),
+        "int8h": (int8h_preview, int8h_up, int8h_vp),
+    }
 
-    for name, preview, up, vp in (
-        ("bf16", bf16_preview, bf16_up, bf16_vp),
-        ("int8", int8_preview, int8_up, int8_vp),
-    ):
+    gates = {"bf16": (True, None)}
+    for name in ("int8", "int8h"):
+        preview, up, vp = configs[name]
+        psnr = quality_psnr(
+            preview, up, vp, bf16_preview, bf16_up, bf16_vp, fparams
+        )
+        gates[name] = (psnr >= QUALITY_GATE_PSNR_DB, round(psnr, 2))
+
+    for name, (preview, up, vp) in configs.items():
         for batch in (8, 16):
             try:
                 results[f"{name}_b{batch}"] = round(
@@ -220,7 +235,7 @@ def main():
 
     candidates = {
         k: v for k, v in results.items()
-        if isinstance(v, float) and (k.startswith("bf16") or int8_ok)
+        if isinstance(v, float) and gates[k.rsplit("_b", 1)[0]][0]
     }
     runs = []
     if candidates:
@@ -228,10 +243,7 @@ def main():
         # run-to-run variance on the winning config (programs already
         # compiled, so each repeat is cheap)
         name, b = best_key.rsplit("_b", 1)
-        preview, up, vp = {
-            "bf16": (bf16_preview, bf16_up, bf16_vp),
-            "int8": (int8_preview, int8_up, int8_vp),
-        }[name]
+        preview, up, vp = configs[name]
         runs = [candidates[best_key]] + [
             round(time_preview(preview, up, vp, fparams, int(b)), 4)
             for _ in range(2)
@@ -253,9 +265,11 @@ def main():
                     round(100 * (max(runs) - min(runs)) / max(runs), 2)
                     if runs else None
                 ),
-                "int8_quality_psnr_vs_bf16_db": round(psnr, 2),
+                "int8_quality_psnr_vs_bf16_db": gates["int8"][1],
+                "int8h_quality_psnr_vs_bf16_db": gates["int8h"][1],
                 "int8_quality_weights": "converted" if real_ckpt_path() else "random",
-                "int8_gate_passed": bool(int8_ok),
+                "int8_gate_passed": bool(gates["int8"][0]),
+                "int8h_gate_passed": bool(gates["int8h"][0]),
                 "all": results,
             }
         )

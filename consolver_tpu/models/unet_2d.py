@@ -48,6 +48,12 @@ class UNetConfig:
     # (kernels/quant.py; serving-only — quantize a float checkpoint with
     # quantize_params_like).  conv_in/out and time embedding stay float.
     quant_int8: bool = False
+    # Resolution levels (indices into block_out_channels; 0 = highest
+    # resolution) whose blocks stay bf16 under quant_int8.  Measured on
+    # v5e (scripts/probe_requant.py): int8 convs LOSE to bf16 at the
+    # 64^2x320 shape (122 vs 167 T/s) while winning ~2x at 16^2x1280 —
+    # skipping level 0 gives a faster hybrid than uniform int8.
+    quant_skip_levels: Tuple[int, ...] = ()
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -72,6 +78,7 @@ class CrossAttnDownBlock(nn.Module):
     has_attn: bool
     add_downsample: bool
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context):
@@ -80,19 +87,19 @@ class CrossAttnDownBlock(nn.Module):
         for i in range(cfg.layers_per_block):
             x = ResnetBlock2D(
                 self.out_channels, cfg.norm_num_groups, dtype=self.dtype,
-                quant=cfg.quant_int8, name=f"resnets_{i}",
+                quant=self.quant, name=f"resnets_{i}",
             )(x, temb)
             if self.has_attn:
                 heads = cfg.attention_head_dim
                 x = Transformer2D(
                     heads, self.out_channels // heads, cfg.cross_attention_dim,
                     depth=cfg.transformer_depth, groups=cfg.norm_num_groups,
-                    dtype=self.dtype, quant=cfg.quant_int8, name=f"attentions_{i}",
+                    dtype=self.dtype, quant=self.quant, name=f"attentions_{i}",
                 )(x, context)
             skips.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype,
-                             quant=cfg.quant_int8, name="downsamplers_0")(x)
+                             quant=self.quant, name="downsamplers_0")(x)
             skips.append(x)
         return x, skips
 
@@ -103,6 +110,7 @@ class CrossAttnUpBlock(nn.Module):
     has_attn: bool
     add_upsample: bool
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, skips, temb, context):
@@ -111,18 +119,18 @@ class CrossAttnUpBlock(nn.Module):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, cfg.norm_num_groups, dtype=self.dtype,
-                quant=cfg.quant_int8, name=f"resnets_{i}",
+                quant=self.quant, name=f"resnets_{i}",
             )(x, temb)
             if self.has_attn:
                 heads = cfg.attention_head_dim
                 x = Transformer2D(
                     heads, self.out_channels // heads, cfg.cross_attention_dim,
                     depth=cfg.transformer_depth, groups=cfg.norm_num_groups,
-                    dtype=self.dtype, quant=cfg.quant_int8, name=f"attentions_{i}",
+                    dtype=self.dtype, quant=self.quant, name=f"attentions_{i}",
                 )(x, context)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype,
-                           quant=cfg.quant_int8, name="upsamplers_0")(x)
+                           quant=self.quant, name="upsamplers_0")(x)
         return x
 
 
@@ -130,20 +138,21 @@ class MidBlock(nn.Module):
     cfg: UNetConfig
     channels: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context):
         cfg = self.cfg
         x = ResnetBlock2D(self.channels, cfg.norm_num_groups, dtype=self.dtype,
-                          quant=cfg.quant_int8, name="resnets_0")(x, temb)
+                          quant=self.quant, name="resnets_0")(x, temb)
         heads = cfg.attention_head_dim
         x = Transformer2D(
             heads, self.channels // heads, cfg.cross_attention_dim,
             depth=cfg.transformer_depth, groups=cfg.norm_num_groups,
-            dtype=self.dtype, quant=cfg.quant_int8, name="attentions_0",
+            dtype=self.dtype, quant=self.quant, name="attentions_0",
         )(x, context)
         x = ResnetBlock2D(self.channels, cfg.norm_num_groups, dtype=self.dtype,
-                          quant=cfg.quant_int8, name="resnets_1")(x, temb)
+                          quant=self.quant, name="resnets_1")(x, temb)
         return x
 
 
@@ -172,25 +181,29 @@ class UNet2DCondition(nn.Module):
             cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in"
         )(sample.astype(self.dtype))
 
+        def level_quant(level: int) -> bool:
+            return cfg.quant_int8 and level not in cfg.quant_skip_levels
+
         skips = [x]
         for i, out_ch in enumerate(cfg.block_out_channels):
             is_last = i == len(cfg.block_out_channels) - 1
             x, block_skips = CrossAttnDownBlock(
                 cfg, out_ch, cfg.cross_attn_blocks[i], add_downsample=not is_last,
-                dtype=self.dtype, name=f"down_blocks_{i}",
+                dtype=self.dtype, quant=level_quant(i), name=f"down_blocks_{i}",
             )(x, temb, context)
             skips.extend(block_skips)
 
-        x = MidBlock(cfg, cfg.block_out_channels[-1], dtype=self.dtype, name="mid_block")(
-            x, temb, context
-        )
+        x = MidBlock(
+            cfg, cfg.block_out_channels[-1], dtype=self.dtype,
+            quant=level_quant(len(cfg.block_out_channels) - 1), name="mid_block",
+        )(x, temb, context)
 
         for i, out_ch in enumerate(reversed(cfg.block_out_channels)):
             rev = len(cfg.block_out_channels) - 1 - i
             is_last = i == len(cfg.block_out_channels) - 1
             x = CrossAttnUpBlock(
                 cfg, out_ch, cfg.cross_attn_blocks[rev], add_upsample=not is_last,
-                dtype=self.dtype, name=f"up_blocks_{i}",
+                dtype=self.dtype, quant=level_quant(rev), name=f"up_blocks_{i}",
             )(x, skips, temb, context)
 
         x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-5, dtype=jnp.float32, name="conv_norm_out")(x)

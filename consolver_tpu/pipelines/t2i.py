@@ -399,19 +399,28 @@ class TextToImagePipeline:
             vocab_size=self.text_encoder.cfg.vocab_size,
         ))
 
-    def quantize(self) -> "TextToImagePipeline":
+    def quantize(self, skip_levels: Tuple[int, ...] = (0,)) -> "TextToImagePipeline":
         """Return a W8A8 int8 serving copy of this pipeline: UNet projections
-        and VAE decoder run on the int8 MXU path (kernels/quant.py — ~1.8x
-        bf16 measured), text encoder and solver untouched.  The float
-        checkpoint converts mechanically; quality-gate with
-        rewards (the bench gates on preview PSNR vs the float path)."""
+        and VAE decoder run on the int8 MXU path (kernels/quant.py), text
+        encoder and solver untouched.  The float checkpoint converts
+        mechanically; quality-gate with rewards (the bench gates on preview
+        PSNR vs the float path).
+
+        ``skip_levels`` defaults to the measured-fastest HYBRID: UNet level
+        0 stays bf16 because int8 convs lose to bf16 at the 64^2x320 shape
+        on v5e (scripts/probe_requant.py; bench: hybrid 8.32 vs uniform
+        int8 8.11 img/s/chip, identical quality).  Pass () for uniform
+        int8."""
         import dataclasses as _dc
 
         from consolver_tpu.kernels.quant import quantize_params_like
         from consolver_tpu.models.unet_2d import UNet2DCondition
         from consolver_tpu.models.vae import AutoencoderKL
 
-        qucfg = _dc.replace(self.unet.cfg, quant_int8=True)
+        qucfg = _dc.replace(
+            self.unet.cfg, quant_int8=True,
+            quant_skip_levels=tuple(skip_levels),
+        )
         qunet = UNet2DCondition(qucfg, dtype=self.unet.dtype)
         ch = self.unet.cfg.in_channels
         cross = self.unet.cfg.cross_attention_dim
