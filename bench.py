@@ -73,21 +73,25 @@ def build(quant: bool, skip_levels=()):
     from consolver_tpu.pipelines.t2i import make_denoise_fn
     from consolver_tpu.policy import FactorNet, FactorNetConfig
 
-    ckpt = real_ckpt_path()
-    ucfg = UNetConfig.sd15()
-    unet_f = UNet2DCondition(ucfg, dtype=jnp.bfloat16)
-    if ckpt:
-        # converted real weights: the int8 quality gate measures actual
-        # quantization error, not random-normal range effects
+    def load_bf16_component(name, cls, default_cfg):
+        """Converted real weights when a checkpoint dir is present (the int8
+        quality gate then measures actual quantization error, not
+        random-normal range effects); None otherwise."""
+        ckpt = real_ckpt_path()
+        if not ckpt:
+            return None, default_cfg
         from scripts.train_sd15 import load_model_config, load_orbax
 
-        up = os.path.join(ckpt, "unet")
-        ucfg = load_model_config(up, UNetConfig, ucfg)
-        unet_f = UNet2DCondition(ucfg, dtype=jnp.bfloat16)
-        unet_params = jax.tree.map(
-            lambda x: jnp.asarray(x, jnp.bfloat16), load_orbax(up)
+        path = os.path.join(ckpt, name)
+        cfg = load_model_config(path, cls, default_cfg)
+        params = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.bfloat16), load_orbax(path)
         )
-    else:
+        return params, cfg
+
+    unet_params, ucfg = load_bf16_component("unet", UNetConfig, UNetConfig.sd15())
+    unet_f = UNet2DCondition(ucfg, dtype=jnp.bfloat16)
+    if unet_params is None:
         shapes = jax.eval_shape(
             unet_f.init, jax.random.key(0), jnp.zeros((1, HEIGHT, WIDTH, 4)),
             jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768)),
@@ -109,18 +113,9 @@ def build(quant: bool, skip_levels=()):
     else:
         unet = unet_f
 
-    vcfg = VaeConfig.sd15()
+    vae_params, vcfg = load_bf16_component("vae", VaeConfig, VaeConfig.sd15())
     vae_f = AutoencoderKL(vcfg, dtype=jnp.bfloat16)
-    if ckpt:
-        from scripts.train_sd15 import load_model_config, load_orbax
-
-        vp = os.path.join(ckpt, "vae")
-        vcfg = load_model_config(vp, VaeConfig, vcfg)
-        vae_f = AutoencoderKL(vcfg, dtype=jnp.bfloat16)
-        vae_params = jax.tree.map(
-            lambda x: jnp.asarray(x, jnp.bfloat16), load_orbax(vp)
-        )
-    else:
+    if vae_params is None:
         vae_shapes = jax.eval_shape(
             vae_f.init, jax.random.key(0), jnp.zeros((1, 512, 512, 3)),
             jax.random.key(1),
@@ -248,7 +243,10 @@ def main():
             round(time_preview(preview, up, vp, fparams, int(b)), 4)
             for _ in range(2)
         ]
-        best = max(runs)
+        # median, not max: the winner is picked from single runs, so a
+        # max-of-repeats headline would be a positively biased order
+        # statistic relative to the per-config numbers in "all"
+        best = round(float(np.median(runs)), 4)
     else:  # every eligible config failed — still emit the JSON line
         best_key, best = "none", 0.0
 

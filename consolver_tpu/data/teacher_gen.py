@@ -42,6 +42,13 @@ def generate_teacher_set(
     os.makedirs(output_dir, exist_ok=True)
     if uncond_ids is not None:
         uncond_ids = np.asarray(uncond_ids).reshape(-1)
+        width = np.asarray(prompt_ids).shape[-1]
+        if uncond_ids.size != width:
+            raise ValueError(
+                f"uncond_ids must be one [S]={width} row (the tokenized "
+                f"empty prompt), got {uncond_ids.size} values — pass "
+                "uncond_input_ids(tokenizer, 1, max_length)"
+            )
     n = len(prompt_ids)
     written = 0
     base = jax.random.key(seed)

@@ -118,6 +118,15 @@ def data_axis_size(mesh: Mesh, axis: str = DATA_AXIS) -> int:
     return int(mesh.shape.get(axis, 1))
 
 
+def resolve_num_groups(configured: Optional[int], mesh: Optional[Mesh]) -> int:
+    """GRPO group count for a trainer: the configured override, else one
+    group per data shard (the reference's per-rank groups,
+    edit_ppo/train_ppo.py:258-326), else 1."""
+    if configured:
+        return configured
+    return data_axis_size(mesh) if mesh is not None else 1
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(axis))

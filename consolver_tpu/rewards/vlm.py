@@ -40,11 +40,16 @@ def parse_score(text: str) -> Optional[float]:
 def parse_score_strict(text: str) -> Optional[float]:
     """Qwen-path parse: ``float(generated_text)`` directly
     (edit_ppo/reward_model.py:303-305) — any surrounding text is a parse
-    failure (retried), unlike the llava path's first-number regex."""
+    failure (retried), unlike the llava path's first-number regex.
+    "nan"/"inf" parse as floats but would poison the reward mean, so they
+    count as parse failures too (np.clip propagates NaN)."""
     try:
-        return float(np.clip(float(text.strip()), 0.0, 100.0))
+        value = float(text.strip())
     except ValueError:
         return None
+    if not np.isfinite(value):
+        return None
+    return float(np.clip(value, 0.0, 100.0))
 
 
 def make_vlm_judge(

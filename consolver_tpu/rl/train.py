@@ -87,13 +87,9 @@ class PPOTrainer(CheckpointMixin):
         self.config = config
         self.mesh = mesh
 
-        if mesh is not None:
-            from consolver_tpu.dist import mesh as meshlib
+        from consolver_tpu.dist.mesh import resolve_num_groups
 
-            default_groups = meshlib.data_axis_size(mesh)
-        else:
-            default_groups = 1
-        self.num_groups = config.num_groups or default_groups
+        self.num_groups = resolve_num_groups(config.num_groups, mesh)
 
         self.factor_net = pipeline.factor_net
         self.params = pipeline.factor_params

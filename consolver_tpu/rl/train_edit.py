@@ -54,16 +54,11 @@ class EditPPOTrainer(CheckpointMixin):
         self.mesh = mesh
         self.dump_samples_to = dump_samples_to
 
-        if mesh is not None:
-            from consolver_tpu.dist import mesh as meshlib
+        from consolver_tpu.dist.mesh import resolve_num_groups
 
-            default_groups = meshlib.data_axis_size(mesh)
-        else:
-            default_groups = 1
         # one independent prompt group (and one Euler baseline) per data
         # shard, like the reference's per-rank groups
-        # (edit_ppo/train_ppo.py:258-326)
-        self.num_groups = config.num_groups or default_groups
+        self.num_groups = resolve_num_groups(config.num_groups, mesh)
 
         self.params = pipeline.factor_params
         self.optimizer = ppo.make_optimizer(config.ppo)

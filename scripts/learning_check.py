@@ -34,10 +34,15 @@ N = 8
 noises = rng.standard_normal((N, 8, 8, 4)).astype(np.float32)
 prompt_ids = rng.integers(1, 900, (N, 4)).astype(np.int64)
 enc = jax.jit(lambda ids: te.apply(tp, ids))
+# teacher and student must condition the CFG negative branch identically:
+# the tokenized empty prompt (what PPOTrainer now derives), not zeros
+from consolver_tpu.data.tokenizer import HashTokenizer, uncond_input_ids
+unc_ids = jnp.asarray(uncond_input_ids(
+    HashTokenizer(max_length=4), 1, 4, vocab_size=te.cfg.vocab_size))
 teach_lat = []
 for i in range(N):
     ctx = enc(jnp.asarray(prompt_ids[i:i+1]))
-    unc = enc(jnp.zeros((1,4), jnp.int32))
+    unc = enc(unc_ids)
     lat, _ = teacher(up, None, jax.random.key(0), jnp.asarray(noises[i:i+1]), ctx, unc)
     teach_lat.append(np.asarray(lat[0]))
 teach_lat = np.stack(teach_lat)

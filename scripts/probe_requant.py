@@ -50,7 +50,7 @@ def rpc_baseline():
     return timed(tiny, jnp.zeros((8, 128)), reps=5)
 
 
-def probe_shape(b, h, w, c):
+def probe_shape(b, h, w, c, variants=("bf16", "dynamic", "static")):
     conv_gflop = 2 * b * h * w * c * (9 * c) / 1e9
     kern_f = jax.random.normal(jax.random.key(0), (3, 3, c, c)) * 0.02
     kern_bf16 = kern_f.astype(jnp.bfloat16)
@@ -106,6 +106,8 @@ def probe_shape(b, h, w, c):
     out = {}
     for name, fn in (("bf16", chain_bf16), ("dynamic", chain_dynamic),
                      ("static", chain_static)):
+        if name not in variants:
+            continue
         t = (timed(fn, x0) - rpc) / N_ITER
         out[name] = (t * 1e3, conv_gflop / t / 1e3)  # ms, TFLOP-or-TOP/s
     return out

@@ -119,7 +119,10 @@ class TestFmBaselineGolden:
     @pytest.mark.parametrize("shift", [1.0, 3.0])
     def test_step_trajectory(self, solver_type, shift):
         num_steps, batch = 6, 2
-        rng = np.random.default_rng(hash(solver_type) % 1000)
+        # str hash is process-salted — seed deterministically by index
+        from consolver_tpu.pipelines.fm import FM_SOLVERS
+
+        rng = np.random.default_rng(FM_SOLVERS.index(solver_type))
         noise = rng.standard_normal((batch, 5, 4)).astype(np.float32)
         consts = rng.standard_normal((num_steps, batch, 5, 4)).astype(np.float32)
 
