@@ -347,3 +347,18 @@ def test_hybrid_quant_skip_levels():
     qout = qunet.apply(quantize_params_like(qshapes, params), x, t, ctx)
     rel_q = float(jnp.linalg.norm(qout - ref) / (jnp.linalg.norm(ref) + 1e-8))
     assert rel_h <= rel_q + 1e-6, (rel_h, rel_q)
+
+
+def test_int8_conv_channel_pad_exact():
+    """Lane-padding (channel_pad=128) is numerically EXACT vs the unpadded
+    conv — zero-padded channels contribute zero products — at a
+    non-multiple-of-128 channel count like the UNet's 320-wide level."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 40)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 40, 24)).astype(np.float32) * 0.1)
+    wq, scale = quantize_weight(w, out_axis=-1)
+    bias = jnp.asarray(rng.standard_normal(24).astype(np.float32) * 0.1)
+    y_padded = int8_conv(x, wq, scale, bias, channel_pad=128)
+    y_plain = int8_conv(x, wq, scale, bias, channel_pad=0)
+    np.testing.assert_array_equal(np.asarray(y_padded), np.asarray(y_plain))
+    assert y_padded.shape == (2, 6, 6, 24)
