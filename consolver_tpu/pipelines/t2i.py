@@ -407,10 +407,12 @@ class TextToImagePipeline:
         PSNR vs the float path).
 
         ``skip_levels`` defaults to the measured-fastest HYBRID: UNet level
-        0 stays bf16 because int8 convs lose to bf16 at the 64^2x320 shape
-        on v5e (scripts/probe_requant.py; bench: hybrid 8.32 vs uniform
-        int8 8.11 img/s/chip, identical quality).  Pass () for uniform
-        int8."""
+        0 stays bf16.  Isolated, a lane-padded int8 conv beats bf16 even at
+        the 64^2x320 shape (scripts/probe_int8_l0.py), but at the MODEL
+        level bf16 level-0 convs also fuse with the following GroupNorm
+        statistics, which int8's dequant breaks — measured on chip: hybrid
+        8.31 vs padded-uniform int8 8.25 vs bf16 7.27 img/s/chip,
+        identical quality.  Pass () for uniform int8."""
         import dataclasses as _dc
 
         from consolver_tpu.kernels.quant import quantize_params_like

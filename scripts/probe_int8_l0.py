@@ -14,37 +14,17 @@ Variants (all static activation scale, chained N in-jit iterations):
 
 import os
 import sys
-import time
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
+from scripts._probe_util import rpc_baseline, timed
+
 DN = ("NHWC", "HWIO", "NHWC")
 N_ITER = 100
 B, H, W, C = 8, 64, 64, 320
 CP = 384  # padded channels
-
-
-def timed(fn, *args, reps=3):
-    out = fn(*args)
-    float(jnp.sum(out.astype(jnp.float32)))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        float(jnp.sum(out.astype(jnp.float32)))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def rpc_baseline():
-    @jax.jit
-    def tiny(x):
-        return x + 1
-
-    return timed(tiny, jnp.zeros((8, 128)), reps=5)
 
 
 def main():
@@ -95,10 +75,11 @@ def main():
             patches = jax.lax.conv_general_dilated_patches(
                 quant(x).astype(jnp.int8), (3, 3), (1, 1), "SAME",
                 dimension_numbers=DN,
-            )  # [B, H, W, 9*C] int8
+            )  # [B, H, W, C*9] — features are CHANNEL-major (C, kh, kw)
             y = jax.lax.dot_general(
                 patches.reshape(-1, 9 * C),
-                kern_q.reshape(9 * C, C),
+                # match the patches' (C, kh, kw) feature order
+                jnp.transpose(kern_q, (2, 0, 1, 3)).reshape(9 * C, C),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).reshape(B, H, W, C)

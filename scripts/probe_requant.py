@@ -19,35 +19,15 @@ the item closes as a measured dead end.
 
 import os
 import sys
-import time
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
+from scripts._probe_util import rpc_baseline, timed
+
 DN = ("NHWC", "HWIO", "NHWC")
 N_ITER = 100
-
-
-def timed(fn, *args, reps=3):
-    out = fn(*args)
-    float(jnp.sum(out.astype(jnp.float32)))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        float(jnp.sum(out.astype(jnp.float32)))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def rpc_baseline():
-    @jax.jit
-    def tiny(x):
-        return x + 1
-
-    return timed(tiny, jnp.zeros((8, 128)), reps=5)
 
 
 def probe_shape(b, h, w, c, variants=("bf16", "dynamic", "static")):
