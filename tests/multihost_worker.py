@@ -84,6 +84,42 @@ def main():
     result["resumed_step"] = dummy2.global_step
     result["resumed_w0"] = float(np.asarray(dummy2.params["w"]).ravel()[1])
 
+    # --- a REAL cross-process train step: tiny PPOTrainer over the global
+    # 8-device mesh, every process feeding the same host batch (per-shard
+    # groups + sharded update + implicit psum spanning both processes) ---
+    from consolver_tpu.core import schedules
+    from consolver_tpu.pipelines.t2i import TextToImagePipeline
+    from consolver_tpu.policy import FactorNet, FactorNetConfig
+    from consolver_tpu.rewards.registry import make_reward_fn
+    from consolver_tpu.rl.ppo import PPOConfig
+    from tests.test_pipeline import make_tiny_stack
+
+    (unet, up), (te, tp), (vae, vp) = make_tiny_stack()
+    fnet = FactorNet(FactorNetConfig(
+        order_dim=3, scaler_dim=0, num_actions=11, family="sd"
+    ))
+    pipe = TextToImagePipeline(
+        unet, up, te, tp, vae, vp, schedules.DiffusionSchedule.sd15(),
+        factor_net=fnet, factor_params=fnet.init(jax.random.key(0)),
+    )
+    trainer = PPOTrainer(
+        pipe, make_reward_fn("image_psnr"),
+        TrainConfig(min_inference_steps=2, max_inference_steps=3, seed=3,
+                    output_dir=os.path.join(out_dir, "train_ckpts")),
+        mesh=m,
+    )
+    brng = np.random.default_rng(7)  # same batch on every process
+    batch = {
+        "noise": brng.standard_normal((8, 8, 8, 4)).astype(np.float32),
+        "latent": brng.standard_normal((8, 8, 8, 4)).astype(np.float32),
+        "prompt_ids": np.ones((8, 4), np.int64),
+    }
+    metrics = trainer.train_step(batch)
+    result["train_reward"] = metrics["reward"]
+    result["train_loss"] = metrics["loss"]
+    result["train_num_groups"] = trainer.num_groups
+    result["train_param_sum"] = meshlib.assert_params_synced(trainer.params)
+
     with open(os.path.join(out_dir, f"result_{pid}.json"), "w") as f:
         json.dump(result, f)
 

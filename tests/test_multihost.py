@@ -60,3 +60,11 @@ def test_multihost_two_process_cluster(tmp_path):
     assert r0["resumed_w0"] == r1["resumed_w0"] == 1.0
     ckpts = [d for d in os.listdir(tmp_path / "ckpts") if d.startswith("checkpoint-")]
     assert ckpts == ["checkpoint-5"]
+    # the cross-process train step: 8 per-shard groups over the global
+    # mesh, identical metrics and post-update params on both hosts
+    assert r0["train_num_groups"] == r1["train_num_groups"] == 8
+    assert r0["train_reward"] == pytest.approx(r1["train_reward"], rel=1e-5)
+    assert r0["train_loss"] == pytest.approx(r1["train_loss"], rel=1e-4)
+    assert r0["train_param_sum"] == pytest.approx(
+        r1["train_param_sum"], rel=1e-6
+    )
