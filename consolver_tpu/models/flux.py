@@ -73,10 +73,15 @@ class FluxConfig:
 
 def pack_latents(latents: jax.Array) -> jax.Array:
     """[B, H, W, C] -> [B, (H/2)(W/2), 4C] 2x2 patchify
-    (edit_ppo/pipeline.py:589-595, NHWC variant)."""
+    (edit_ppo/pipeline.py:589-595, NHWC variant).
+
+    Feature order within the packed 4C axis is channel-major (c, dy, dx)
+    — index c*4 + dy*2 + dx — matching the reference's NCHW
+    view+permute(0,2,4,1,3,5), so mechanically converted hub x_embedder /
+    proj_out weights see the feature wiring they were trained on."""
     b, h, w, c = latents.shape
     x = latents.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (b, h/2, w/2, c, dy, dx)
     return x.reshape(b, (h // 2) * (w // 2), 4 * c)
 
 
@@ -84,8 +89,8 @@ def unpack_latents(packed: jax.Array, height: int, width: int) -> jax.Array:
     """[B, (H/2)(W/2), 4C] -> [B, H, W, C]  (edit_ppo/pipeline.py:598-609)."""
     b, _, c4 = packed.shape
     c = c4 // 4
-    x = packed.reshape(b, height // 2, width // 2, 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = packed.reshape(b, height // 2, width // 2, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (b, h/2, dy, w/2, dx, c)
     return x.reshape(b, height, width, c)
 
 

@@ -21,6 +21,31 @@ class TestPacking:
         out = flux.unpack_latents(packed, 8, 8)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x))
 
+    def test_feature_order_matches_reference_pack(self):
+        """Golden vs the reference's torch _pack_latents/_unpack_latents
+        (edit_ppo/pipeline.py:589-609): the packed 4C feature axis must be
+        channel-major (index c*4 + dy*2 + dx), because converted hub
+        x_embedder/proj_out weights were trained against that wiring."""
+        import torch
+
+        rng = np.random.default_rng(7)
+        nhwc = rng.standard_normal((2, 8, 6, 4)).astype(np.float32)
+        b, h, w, c = nhwc.shape
+        # reference formula on the NCHW tensor (pipeline.py:590-592)
+        t = torch.from_numpy(nhwc).permute(0, 3, 1, 2)
+        ref = t.view(b, c, h // 2, 2, w // 2, 2)
+        ref = ref.permute(0, 2, 4, 1, 3, 5)
+        ref = ref.reshape(b, (h // 2) * (w // 2), c * 4)
+        packed = flux.pack_latents(jnp.asarray(nhwc))
+        np.testing.assert_allclose(np.asarray(packed), ref.numpy())
+        # reference unpack (pipeline.py:606-609) -> back to NHWC
+        ru = ref.view(b, h // 2, w // 2, c, 2, 2)
+        ru = ru.permute(0, 3, 1, 4, 2, 5).reshape(b, c, h, w)
+        out = flux.unpack_latents(packed, h, w)
+        np.testing.assert_allclose(
+            np.asarray(out), ru.permute(0, 2, 3, 1).numpy()
+        )
+
     def test_ids(self):
         ids = flux.latent_image_ids(4, 6)
         assert ids.shape == (6, 3)
