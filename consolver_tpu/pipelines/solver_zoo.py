@@ -487,9 +487,11 @@ class UniPC(BaselineSolver):
             corr = sum(float(rhos_c[k]) * d1s[k] for k in range(order - 1))
             d1_t = m_t - m0
             x = x_t_ - float(alpha_t * b_h) * (corr + float(rhos_c[-1]) * d1_t)
-            # the corrected sample redefines x0-conversion of this step's eps
-            m_t = self._x0(i, x, eps)
 
+        # diffusers UniPCMultistepScheduler.step converts the model output
+        # ONCE, with the pre-corrector sample, and stores THAT conversion in
+        # model_outputs (convert_model_output runs before the UniC update
+        # reassigns `sample`); the corrected x only feeds the predictor.
         self.hist = (self.hist + [m_t])[-self.solver_order :]
 
         # --- predictor (UniP) ---
