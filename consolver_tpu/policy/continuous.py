@@ -97,7 +97,12 @@ class ContinuousFactorNet:
         mean, std = self._dist(params, conds)
         raw = mean + std * jax.random.normal(key, mean.shape)
         actions = jnp.clip(raw, self.low[None, :], self.high[None, :])
-        dens = self._density(mean, std, raw)
+        # Density is evaluated at the CLIPPED value — the value stored in the
+        # trajectory and re-evaluated by get_action_probs during PPO epochs.
+        # Using the raw draw's density would make the first-epoch ratio
+        # N(clipped)/N(raw) != 1 for every clipped sample, violating the
+        # clipped-surrogate trust region before any parameter update.
+        dens = self._density(mean, std, actions)
         return actions, dens
 
     @staticmethod

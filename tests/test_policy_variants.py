@@ -32,19 +32,19 @@ class TestContinuous:
         assert (np.asarray(dens) > 0).all()
 
     def test_density_roundtrip_and_ppo_compat(self):
-        """Densities from sampling == densities from re-evaluation (when no
-        clipping occurred), so the PPO ratio starts at 1."""
+        """Densities from sampling == densities from re-evaluation at the
+        stored (clipped) actions — INCLUDING clipped samples — so the PPO
+        ratio is exactly 1 on the first update epoch."""
         net, params = self._net()
         conds = {"x": jnp.tile(jnp.asarray([[100.0, 50.0]]), (64, 1))}
         actions, dens = net.sample_action(params, jax.random.key(2), conds)
         dens2, entropy = net.get_action_probs(params, conds, actions)
-        unclipped = (
-            (np.asarray(actions) > np.asarray(net.low)[None] + 1e-6)
-            & (np.asarray(actions) < np.asarray(net.high)[None] - 1e-6)
+        clipped = (
+            (np.asarray(actions) <= np.asarray(net.low)[None] + 1e-6)
+            | (np.asarray(actions) >= np.asarray(net.high)[None] - 1e-6)
         )
-        np.testing.assert_allclose(
-            np.asarray(dens)[unclipped], np.asarray(dens2)[unclipped], rtol=1e-5
-        )
+        assert clipped.any()  # the draw must exercise the clipped branch
+        np.testing.assert_allclose(np.asarray(dens), np.asarray(dens2), rtol=1e-5)
         # analytic Gaussian entropy at std=e^-1
         expected = 0.5 * np.log(2 * np.pi * np.e * np.exp(-2.0))
         np.testing.assert_allclose(np.asarray(entropy), expected, rtol=1e-5)
