@@ -40,15 +40,29 @@ class CheckpointMixin:
                         metrics["param_sum"] = assert_params_synced(self.params)
                     log_fn(self.global_step, metrics)
         except KeyboardInterrupt:
-            self.save_checkpoint()
+            if self._can_failure_save():
+                self.save_checkpoint()
             raise
         except Exception:
-            try:
-                self.save_checkpoint()
-            except Exception:
-                pass
+            if self._can_failure_save():
+                try:
+                    self.save_checkpoint()
+                except Exception:
+                    pass
             raise
         return self.params
+
+    @staticmethod
+    def _can_failure_save() -> bool:
+        """Failure/interrupt saves run only single-process: save_checkpoint
+        enters orbax's coordinated save, which has an internal cross-process
+        barrier — if only the failing process reaches it while its peers are
+        blocked in the next step's collective, the cluster deadlocks instead
+        of surfacing the error.  Multi-host recovery relies on the periodic
+        checkpoints, which every process reaches symmetrically."""
+        import jax
+
+        return jax.process_count() == 1
 
     @staticmethod
     def _local_numpy(tree):

@@ -323,6 +323,14 @@ def test_fit_checkpoints_on_failure(tmp_path):
         trainer.fit(batches())
     # state was checkpointed at the failure point
     assert trainer._checkpoint_dirs(), "no checkpoint written on failure"
+    # Multi-process: the failure save must be skipped — orbax's coordinated
+    # save has an internal cross-process barrier, and only the failing
+    # process would reach it (peers are blocked in the next collective),
+    # deadlocking the cluster instead of surfacing the error.
+    from unittest import mock
+    with mock.patch.object(jax, "process_count", return_value=2):
+        assert not trainer._can_failure_save()
+    assert trainer._can_failure_save()
     trainer2 = PPOTrainer(pipe, make_reward_fn("image_psnr"), config)
     assert trainer2.resume_from_checkpoint("latest")
     assert trainer2.global_step == 1
