@@ -245,10 +245,14 @@ def fm_per_token_update(
     sigma_ladder: jax.Array,
     num_train_timesteps: int = 1000,
 ) -> jax.Array:
-    """Per-token flow-matching Euler step (scheduler_fmppo.py:363-371).
+    """Per-token flow-matching Euler step (scheduler_fmppo.py:363-376,429).
 
-    Each token advances from its own sigma to the largest ladder sigma
-    strictly below it: dt_token = next_sigma - current_sigma.
+    Each token pairs its own sigma with the largest ladder sigma strictly
+    below it, but the reference's dt is ``current - next`` (POSITIVE, the
+    mirror of the ladder branch's ``next - current``): the branch is built
+    for the inverted Mochi-style ladder, so against a normal descending
+    ladder it steps opposite to the ladder program.  Reproduced faithfully
+    (golden-tested against scheduler_fmppo.py under the diffusers stub).
 
     sample/velocity: [B, S, C]; per_token_timesteps: [B, S] in train-timestep
     units; sigma_ladder: [L] descending inference sigmas (with terminal 0).
@@ -256,7 +260,7 @@ def fm_per_token_update(
     per_token_sigmas, lower_sigmas = per_token_sigma_pair(
         per_token_timesteps, sigma_ladder, num_train_timesteps
     )
-    dt = (lower_sigmas - per_token_sigmas)[..., None]
+    dt = (per_token_sigmas - lower_sigmas)[..., None]
     return (sample.astype(jnp.float32) + dt * velocity.astype(jnp.float32)).astype(
         sample.dtype
     )

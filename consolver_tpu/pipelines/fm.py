@@ -44,13 +44,15 @@ def make_fm_denoise_fn(
     ``per_token=True`` exposes the Mochi-style per-token-timesteps branch
     (scheduler_fmppo.py:363-371, production-unused): the returned fn takes
     an extra trailing ``per_token_timesteps`` [B, S] argument (noise must
-    be token-major [B, S, C]); each token integrates from its own sigma to
-    the largest ladder sigma strictly below it, and the carried per-token
-    timesteps descend the ladder independently.  The policy conds keep the
-    ladder sigma pair (the reference's per-token conds construction is
-    ill-defined for tensor sigmas) and the velocity model is conditioned
-    on the ladder timestep.  With ``per_token=False`` the traced program
-    is unchanged."""
+    be token-major [B, S, C]); each token steps with dt = its own sigma
+    minus the largest ladder sigma strictly below it (the reference's
+    positive, Mochi-ladder dt — the mirror of the ladder branch, see
+    solver.fm_per_token_update), and the carried per-token timesteps
+    descend the ladder independently.  The policy conds keep the ladder
+    sigma pair (the reference's per-token conds construction only admits
+    one-element sigma tensors) and the velocity model is conditioned on
+    the ladder timestep.  With ``per_token=False`` the traced program is
+    unchanged."""
     if factor_net is None:
         order_dim, scaler_dim, action_dims = 1, 0, 1
     else:
@@ -104,7 +106,9 @@ def make_fm_denoise_fn(
             record = (conds_x, actions, probs, masks) + ((st.ets,) if use_conv else ())
             if per_token:
                 cur_s, low_s = solver.per_token_sigma_pair(ptts, ladder, n_train)
-                dt = (low_s - cur_s)[..., None]
+                # dt = current - next (scheduler_fmppo.py:371): the mirror of
+                # the ladder branch — see solver.fm_per_token_update.
+                dt = (cur_s - low_s)[..., None]
                 x_new = (x32 + dt * eff).astype(x.dtype)
                 return (st, x_new, k, low_s * n_train), record
             x_new = solver.fm_euler_update(x32, eff, s_next - s_t).astype(x.dtype)

@@ -158,17 +158,31 @@ class TestPerTokenBranch:
         fn = fm.make_fm_denoise_fn(vel, CFG, fnet, 4, per_token=per_token)
         return fn, fnet, fparams, noise
 
-    def test_uniform_tokens_match_ladder_path(self):
-        """All tokens starting at the ladder top must reproduce the plain
-        ladder program (same per-step RNG chain, same dt per step)."""
-        fn_ladder, _, fparams, noise = self._setup(per_token=False)
-        fn_pt, _, _, _ = self._setup(per_token=True)
+    def test_uniform_tokens_mirror_ladder_path(self):
+        """All tokens starting at the ladder top take the same |dt| sequence
+        as the plain ladder program but with the reference's mirrored sign
+        (per-token dt = current - next, scheduler_fmppo.py:371 vs :376).
+        With an x-independent velocity and the same per-step RNG chain the
+        two programs' total updates are exact negatives."""
+        fnet = FactorNet(FactorNetConfig(
+            order_dim=2, scaler_dim=0, mu_dim=0, num_actions=11, family="fm"
+        ))
+        fparams = fnet.init(jax.random.key(2))
+        rng = np.random.default_rng(3)
+        noise = jnp.asarray(rng.standard_normal((2, 6, 4)).astype(np.float32))
+
+        def vel(params, x, t, cond):  # x-independent
+            return jnp.broadcast_to(t[:, None, None] * 1e-3 + 0.5, x.shape)
+
+        fn_ladder = fm.make_fm_denoise_fn(vel, CFG, fnet, 4, per_token=False)
+        fn_pt = fm.make_fm_denoise_fn(vel, CFG, fnet, 4, per_token=True)
         sigmas, _ = schedules.fm_sigmas(CFG, 4)
         ptts = jnp.full((2, 6), float(sigmas[0]) * CFG.num_train_timesteps)
         out_l, traj_l = fn_ladder(None, fparams, jax.random.key(7), noise, None)
         out_p, traj_p = fn_pt(None, fparams, jax.random.key(7), noise, None, ptts)
         np.testing.assert_allclose(
-            np.asarray(out_l), np.asarray(out_p), rtol=1e-5, atol=1e-6
+            np.asarray(out_p - noise), -np.asarray(out_l - noise),
+            rtol=1e-5, atol=1e-6,
         )
         np.testing.assert_allclose(
             np.asarray(traj_l.actions), np.asarray(traj_p.actions), atol=1e-6

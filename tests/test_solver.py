@@ -178,15 +178,16 @@ def test_lmm_step_jits_and_scans():
 
 
 def test_fm_per_token_update():
-    """Per-token FM stepping: each token advances to the largest ladder sigma
-    below its own (scheduler_fmppo.py:363-371)."""
+    """Per-token FM stepping: each token pairs with the largest ladder sigma
+    below its own, and dt = current - next, the reference's positive
+    Mochi-ladder sign (scheduler_fmppo.py:363-376,429)."""
     ladder = jnp.asarray([1.0, 0.75, 0.5, 0.25, 0.0])
     sample = jnp.zeros((1, 3, 2))
     velocity = jnp.ones((1, 3, 2))
     # tokens at t=1000, 600, 250 -> sigmas 1.0, 0.6, 0.25
     tts = jnp.asarray([[1000.0, 600.0, 250.0]])
     out = solver.fm_per_token_update(sample, velocity, tts, ladder)
-    # dt per token: 0.75-1.0=-0.25; 0.5-0.6=-0.1; 0.0-0.25=-0.25
+    # dt per token: 1.0-0.75=0.25; 0.6-0.5=0.1; 0.25-0.0=0.25
     np.testing.assert_allclose(
-        np.asarray(out[0, :, 0]), [-0.25, -0.1, -0.25], atol=1e-6
+        np.asarray(out[0, :, 0]), [0.25, 0.1, 0.25], atol=1e-6
     )
