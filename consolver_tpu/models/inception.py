@@ -1,10 +1,13 @@
-"""InceptionV3 feature extractor, re-implemented in flax.
+"""InceptionV3, re-implemented in flax.
 
-Backs the reference's 'inception' feature-cosine reward (torchvision
-inception_v3 with fc -> Identity, reward_model.py:98-108,319-356) and the
-FID feature stream (fid_test.py via clean-fid).  Torchvision checkpoint
-layout converts mechanically; conv+BN pairs fold into inference-mode affine
-batch norms.  NHWC.
+Backs the reference's 'inception' cosine reward (reward_model.py:98-108,
+319-356: the stock torchvision ``inception_v3(aux_logits=True)`` called in
+eval mode — whose forward runs THROUGH the final fc, so the reward cosines
+the 1000-class logits despite its "features" comment; use
+``num_classes=1000``) and the FID feature stream (fid_test.py via
+clean-fid's pool3 features; use ``num_classes=0`` for the 2048-d pooled
+output).  Torchvision checkpoint layout converts mechanically; conv+BN
+pairs fold into inference-mode affine batch norms.  NHWC.
 """
 
 from __future__ import annotations
@@ -151,9 +154,12 @@ class InceptionE(nn.Module):
 
 class InceptionV3(nn.Module):
     """images NHWC (Inception-normalized, 299x299) -> pooled features
-    [B, 2048] (the fc -> Identity configuration of the reward)."""
+    [B, 2048] (``num_classes=0``, the FID/pool3 configuration) or class
+    logits [B, num_classes] (``num_classes=1000``, the reward's stock
+    eval-mode forward incl. fc, reward_model.py:339-341)."""
 
     dtype: jnp.dtype = jnp.float32
+    num_classes: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -176,22 +182,26 @@ class InceptionV3(nn.Module):
         x = InceptionD(dtype=d, name="Mixed_7a")(x)
         x = InceptionE(dtype=d, name="Mixed_7b")(x)
         x = InceptionE(dtype=d, name="Mixed_7c")(x)
-        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # global avg pool
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # global avg pool
+        if self.num_classes:
+            x = nn.Dense(self.num_classes, name="fc")(x)
+        return x
 
 
-def convert_inception(state_dict, dtype=np.float32):
+def convert_inception(state_dict, dtype=np.float32, keep_fc: bool = False):
     """torchvision inception_v3 state dict -> InceptionV3 params.
 
     Torchvision layout: '<Block>.<branch>.conv.weight' and
     '<Block>.<branch>.bn.{weight,bias,running_mean,running_var}'.
-    The aux classifier (AuxLogits.*) and fc are dropped (fc -> Identity).
+    The aux classifier (AuxLogits.*) is always dropped; ``keep_fc=True``
+    keeps the final classifier (the reward configuration, num_classes=1000),
+    ``False`` drops it (the FID/pool3 configuration).
     """
     from consolver_tpu.models import convert as _c
 
+    skip = ("AuxLogits.",) if keep_fc else ("AuxLogits.", "fc.")
     filtered = {
-        k: v
-        for k, v in state_dict.items()
-        if not k.startswith(("AuxLogits.", "fc."))
+        k: v for k, v in state_dict.items() if not k.startswith(skip)
     }
     renames = (
         (r"\.bn\.weight$", ".bn_scale"),
@@ -207,11 +217,19 @@ INCEPTION_STD = (0.229, 0.224, 0.225)
 
 
 def make_inception_encoder(model: InceptionV3, params):
-    """RewardModel.encode / FID encode_fn: [B,H,W,3] in [0,1] -> [B, 2048]."""
+    """RewardModel.encode / FID encode_fn: [B,H,W,3] in [0,1] ->
+    [B, 2048] features or [B, num_classes] logits.
+
+    Preprocessing mirrors the reward's processor (reward_model.py:102-107):
+    Resize(299, BICUBIC) on the shortest edge + CenterCrop(299) +
+    ImageNet normalize."""
     from consolver_tpu.models.vit import preprocess
 
     def encode(images):
-        x = preprocess(images, 299, INCEPTION_MEAN, INCEPTION_STD, resize_to=342)
+        x = preprocess(
+            images, 299, INCEPTION_MEAN, INCEPTION_STD,
+            resize_to=299, method="cubic",
+        )
         return model.apply(params, x)
 
     return encode

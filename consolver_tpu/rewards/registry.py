@@ -47,6 +47,34 @@ class RewardModel:
     vlm_judge: Optional[Callable] = None
 
 
+def build_encoder_for(reward_type: str, params) -> Callable:
+    """The production feature encoder for a backbone-cosine reward type
+    from converted params (reward_model.py:59-64,92-134): dino -> DINOv2
+    base CLS, clip -> CLIP-ViT-L/14 image embeds, inception -> the stock
+    InceptionV3 eval forward (1000-class logits — the reference cosines
+    the full classifier output, reward_model.py:339-341)."""
+    if reward_type == "inception":
+        from consolver_tpu.models.inception import (
+            InceptionV3,
+            make_inception_encoder,
+        )
+
+        return make_inception_encoder(InceptionV3(num_classes=1000), params)
+    if reward_type in ("dino", "clip"):
+        from consolver_tpu.models.vit import ViT, ViTConfig, make_encoder
+
+        cfg = (
+            ViTConfig.dinov2_base()
+            if reward_type == "dino"
+            else ViTConfig.clip_vit_l14()
+        )
+        return make_encoder(ViT(cfg), params, reward_type)
+    raise ValueError(
+        f"no feature encoder for reward type {reward_type!r} "
+        "(expected dino | clip | inception)"
+    )
+
+
 def make_reward_fn(
     reward_type: str, model: Optional[RewardModel] = None
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:

@@ -8,7 +8,11 @@ orbax checkpoints and loaded natively.
 Usage:
   python scripts/convert_checkpoints.py --kind unet \
       --src /path/to/sd15/unet --dst ckpts/sd15/unet
-  kinds: unet | vae | clip_text | clip_vision | dinov2 | t5 | flux | factor_net
+  kinds: unet | vae | clip_text | clip_vision | dinov2 | t5 | flux |
+         factor_net | depth_anything | segformer | inception
+  (inception expects a torchvision inception_v3 state dict and keeps the
+  fc head — the reward configuration; FID applies the same params with
+  num_classes=0 for pool3 features)
 
 --src is a directory containing *.safetensors (preferred) or
 pytorch_model*.bin / diffusion_pytorch_model*.bin shards.
@@ -70,6 +74,18 @@ def convert(kind: str, state: dict, factor_cfg=None):
         from consolver_tpu.models.vit import convert_dinov2
 
         return convert_dinov2(state)
+    if kind == "depth_anything":
+        from consolver_tpu.models.depth_anything import convert_depth_anything
+
+        return convert_depth_anything(state)
+    if kind == "segformer":
+        from consolver_tpu.models.segformer import convert_segformer
+
+        return convert_segformer(state)
+    if kind == "inception":
+        from consolver_tpu.models.inception import convert_inception
+
+        return convert_inception(state, keep_fc=True)
     if kind == "factor_net":
         # reference model.ckpt: use policy.FactorNet.load_torch_state_dict.
         # The policy dims are a checkpoint property the reference passes on

@@ -41,6 +41,12 @@ def main():
     f.add_argument("--generated", required=True)
     f.add_argument("--reference", required=True)
     f.add_argument("--encoder-ckpt", default=None)
+    f.add_argument(
+        "--encoder-kind", default="inception",
+        choices=("inception", "dino", "clip"),
+        help="feature stream for the Frechet distance; 'inception' uses "
+        "the clean-fid pool3 2048-d features (fid_test.py semantics)",
+    )
     f.add_argument("--batch-size", type=int, default=32)
 
     e = sub.add_parser(
@@ -72,20 +78,18 @@ def main():
     from consolver_tpu.eval.consistency import evaluate_consistency, pair_images, _load_image
     from consolver_tpu.rewards.registry import RewardModel, make_reward_fn
 
-    def build_encoder():
-        from consolver_tpu.models.vit import ViT, ViTConfig, make_encoder
+    def build_encoder(kind):
+        from consolver_tpu.rewards.registry import build_encoder_for
         from scripts.train_sd15 import load_orbax
 
-        vit = ViT(ViTConfig.dinov2_base())
-        params = load_orbax(args.encoder_ckpt)
-        return make_encoder(vit, params, "dino")
+        return build_encoder_for(kind, load_orbax(args.encoder_ckpt))
 
     if args.cmd == "consistency":
         model = RewardModel()
         if args.reward in ("dino", "clip", "inception"):
             if not args.encoder_ckpt:
                 raise SystemExit(f"--encoder-ckpt required for reward {args.reward}")
-            model = RewardModel(encode=build_encoder())
+            model = RewardModel(encode=build_encoder(args.reward))
         reward_fn = make_reward_fn(args.reward, model)
         mesh = None
         if args.shard:
@@ -103,7 +107,20 @@ def main():
     from consolver_tpu.eval import fid as fid_lib
 
     if args.encoder_ckpt:
-        encode = build_encoder()
+        if args.encoder_kind == "inception":
+            # FID uses the 2048-d pool3 features (clean-fid semantics),
+            # not the reward's logits configuration
+            from consolver_tpu.models.inception import (
+                InceptionV3,
+                make_inception_encoder,
+            )
+            from scripts.train_sd15 import load_orbax
+
+            encode = make_inception_encoder(
+                InceptionV3(), load_orbax(args.encoder_ckpt)
+            )
+        else:
+            encode = build_encoder(args.encoder_kind)
     else:
         print("[smoke] no --encoder-ckpt: FID over downsampled pixels")
         import jax.image

@@ -133,14 +133,10 @@ def build_reward(cfg):
     rtype = cfg.reward.reward_type
     model = RewardModel()
     if rtype in ("dino", "clip", "inception") and cfg.reward.encoder_checkpoint:
-        from consolver_tpu.models.vit import ViT, ViTConfig, make_encoder
+        from consolver_tpu.rewards.registry import build_encoder_for
 
-        vit_cfg = (
-            ViTConfig.dinov2_base() if rtype == "dino" else ViTConfig.clip_vit_l14()
-        )
-        vit = ViT(vit_cfg)
         params = load_orbax(cfg.reward.encoder_checkpoint)
-        model = RewardModel(encode=make_encoder(vit, params, rtype))
+        model = RewardModel(encode=build_encoder_for(rtype, params))
     elif rtype in ("llava", "qwen_vl") and cfg.reward.encoder_checkpoint:
         # encoder_checkpoint doubles as the local VLM-judge checkpoint dir;
         # the qwen variant uses its own message format + strict parse

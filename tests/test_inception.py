@@ -33,15 +33,52 @@ def test_forward_runs():
 
 
 def test_reward_integration():
-    from consolver_tpu.rewards.registry import RewardModel, make_reward_fn
+    """The production inception reward wiring (build_encoder_for): stock
+    eval-mode forward incl. fc -> 1000-d logits cosine
+    (reward_model.py:339-356)."""
+    from consolver_tpu.rewards.registry import (
+        RewardModel,
+        build_encoder_for,
+        make_reward_fn,
+    )
 
-    model = InceptionV3()
+    model = InceptionV3(num_classes=1000)
     params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
-    encode = make_inception_encoder(model, params)
+    encode = build_encoder_for("inception", params)
     reward_fn = make_reward_fn("inception", RewardModel(encode=encode))
     img = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3)), jnp.float32)
+    assert encode(img).shape == (1, 1000)
     r = reward_fn(img, img)
     np.testing.assert_allclose(np.asarray(r), 100.0, atol=0.01)
+
+
+def test_output_parity_vs_independent_torch():
+    """TRUE output parity of the architecture + converter against an
+    independent torch implementation of torchvision's Inception3 (eval
+    mode, random nontrivial BN statistics) — closes the 'structure-only'
+    validation gap (pretrained torchvision weights remain env-blocked).
+    127^2 input instead of 299^2 (size-agnostic; 299^2 costs ~80s CPU)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from tests.torch_inception import build_torch_inception
+
+    tm = build_torch_inception(num_classes=13, seed=0)
+    sd = {
+        k: v
+        for k, v in tm.state_dict().items()
+        if not k.endswith("num_batches_tracked")
+    }
+    params = convert_inception(sd, keep_fc=True)
+    model = InceptionV3(num_classes=13)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 127, 127, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(jax.jit(model.apply)(params, jnp.asarray(x)))
+    assert ours.shape == ref.shape == (2, 13)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
 
 
 def test_converter_structure_roundtrip():
