@@ -153,3 +153,107 @@ def test_temperature_override():
     assert FactorNetConfig(family="fm").temperature == 0.01
     assert FactorNetConfig(family="sd").temperature == 1.0
     assert FactorNetConfig(family="fm", temperature_override=1.0).temperature == 1.0
+
+
+class TestReferenceGolden:
+    """TRUE policy-net goldens: the reference's own FactorNetPPO modules
+    (root SD variant, edit_ppo FM variant) run on torch-CPU with randomized
+    weights transferred into our FactorNet — pinning the action grids, the
+    input normalization, the (sharpened) softmax, nearest-grid re-indexing
+    and the normalized entropy (factor_net_ppo.py:57-184,
+    edit_ppo/factor_net_ppo.py:57-196)."""
+
+    @staticmethod
+    def _randomize(tnet, seed, scale):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(seed)
+        sd = tnet.state_dict()
+        for k, v in sd.items():
+            if k.startswith("mlp."):
+                sd[k] = torch.from_numpy(
+                    (rng.standard_normal(tuple(v.shape)) * scale).astype(np.float32)
+                )
+        tnet.load_state_dict(sd)
+        tnet.eval()
+        return tnet
+
+    def _compare(self, tnet, ours, params, x_np, eps_np, seed):
+        torch = pytest.importorskip("torch")
+        np.testing.assert_allclose(
+            np.asarray(ours.action_values), tnet.action_values.numpy(), atol=1e-6
+        )
+        x_dict = {"x": torch.from_numpy(x_np)}
+        conds = {"x": jnp.asarray(x_np)}
+        if eps_np is not None:
+            x_dict["epsilon"] = torch.from_numpy(eps_np)
+            conds["epsilon"] = jnp.asarray(eps_np)
+        with torch.no_grad():
+            ref_probs = tnet.forward_(x_dict).numpy()
+        our_probs = np.asarray(ours.probs(params, conds))
+        np.testing.assert_allclose(
+            our_probs, ref_probs, rtol=1e-4, atol=1e-6
+        )
+        # off-grid action values must re-index to the same grid points
+        rng = np.random.default_rng(seed)
+        grid = tnet.action_values.numpy()
+        actions = rng.uniform(
+            grid.min(axis=1), grid.max(axis=1), (x_np.shape[0], grid.shape[0])
+        ).astype(np.float32)
+        with torch.no_grad():
+            sel_ref, ent_ref = tnet.get_action_probs(
+                x_dict, torch.from_numpy(actions)
+            )
+        sel, ent = ours.get_action_probs(params, conds, jnp.asarray(actions))
+        np.testing.assert_allclose(
+            np.asarray(sel), sel_ref.numpy(), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(ent), ent_ref.numpy(), rtol=1e-4, atol=1e-6
+        )
+
+    @pytest.mark.parametrize("use_conv", [False, True])
+    def test_sd_variant(self, use_conv, capsys):
+        pytest.importorskip("torch")
+        from tests.diffusers_stub import load_reference
+
+        mod = load_reference("factor_net_ppo.py")
+        tnet = mod.FactorNetPPO(
+            hidden_dim=32, num_actions=11, order_dim=4, scaler_dim=2,
+            use_conv=use_conv,
+        )
+        capsys.readouterr()
+        self._randomize(tnet, seed=int(use_conv), scale=0.5)
+        ours = FactorNet(FactorNetConfig(
+            num_actions=11, hidden_dim=32, order_dim=4, scaler_dim=2,
+            use_conv=use_conv, family="sd",
+        ))
+        params = ours.load_torch_state_dict(tnet.state_dict())
+        rng = np.random.default_rng(7)
+        x = rng.integers(0, 1000, (3, 2)).astype(np.float32)
+        eps = (
+            rng.standard_normal((3, 4, 2, 4, 4)).astype(np.float32)
+            if use_conv else None
+        )
+        self._compare(tnet, ours, params, x, eps, seed=21)
+
+    @pytest.mark.parametrize("mu_dim", [0, 1])
+    def test_fm_variant(self, mu_dim, capsys):
+        pytest.importorskip("torch")
+        from tests.diffusers_stub import load_reference
+
+        mod = load_reference("edit_ppo/factor_net_ppo.py")
+        tnet = mod.FactorNetPPO(
+            hidden_dim=32, num_actions=11, order_dim=2, scaler_dim=0,
+            mu_dim=mu_dim,
+        )
+        capsys.readouterr()
+        # small weights keep logits/0.01 in a comparable range
+        self._randomize(tnet, seed=10 + mu_dim, scale=0.003)
+        ours = FactorNet(FactorNetConfig(
+            num_actions=11, hidden_dim=32, order_dim=2, scaler_dim=0,
+            mu_dim=mu_dim, family="fm",
+        ))
+        params = ours.load_torch_state_dict(tnet.state_dict())
+        rng = np.random.default_rng(9)
+        x = rng.uniform(0, 1, (3, 2)).astype(np.float32)
+        self._compare(tnet, ours, params, x, None, seed=23)
