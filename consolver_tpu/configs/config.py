@@ -24,6 +24,13 @@ class ModelConfig:
     pretrained_path: Optional[str] = None  # converted checkpoint dir
     resolution: int = 512
     dtype: str = "bfloat16"
+    # Beyond-parity TPU knob: run the FROZEN rollout denoiser + VAE decoder
+    # on the W8A8 int8 MXU path (pipeline .quantize(); the policy update is
+    # untouched).  The policy then trains against the int8 serving
+    # environment it will be deployed into.  The reference's analogue is
+    # its fp16-autocast rollout (train_ppo.py:352-364).  Composes with
+    # dist.data_parallel; untested under model_parallel.
+    quantize_rollout: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

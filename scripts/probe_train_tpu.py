@@ -37,6 +37,9 @@ def main():
                     help="VAE-decode micro-batch (reference utils.py:6-34 "
                     "uses 8); whole-batch decode at 80x512^2 OOMs one chip")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 rollout environment (ModelConfig."
+                    "quantize_rollout): hybrid-int8 UNet + int8 VAE decode")
     args = ap.parse_args()
 
     from bench import random_params_like
@@ -84,6 +87,14 @@ def main():
         unet, unet_params, text, text_params, vae, vae_params, sched,
         factor_net=fnet, factor_params=fparams,
     )
+    if args.quantize:
+        pipe = pipe.quantize()
+        # the float UNet/VAE trees are dead weight after quantization —
+        # 1.9GB of HBM the batch-80 int8 step needs back
+        del unet_params, vae_params
+        import gc
+
+        gc.collect()
 
     if args.reward == "depth":
         from consolver_tpu.models.depth_anything import (

@@ -116,6 +116,11 @@ def main():
     fnet = FactorNet(cfg.factor_net)
     fparams = fnet.init(jax.random.key(cfg.train.seed))
     pipe = build_pipeline(cfg, fnet, fparams)
+    if cfg.model.quantize_rollout:
+        # int8 rollout environment (skip if the checkpoint is already an
+        # int8 serving tree — its _config.json sets quant_int8)
+        if not pipe.transformer.cfg.quant_int8:
+            pipe = pipe.quantize()
     reward_fn = build_reward(cfg)
 
     # topology from config (edit_ppo/run_ppo.sh:5 runs 8-way DDP): one

@@ -169,6 +169,12 @@ def main():
     fnet = FactorNet(cfg.factor_net)
     fparams = fnet.init(jax.random.key(cfg.train.seed))
     pipe = build_pipeline(cfg, fnet, fparams)
+    if cfg.model.quantize_rollout and not pipe.unet.cfg.quant_int8:
+        # int8 rollout environment (measured-fastest hybrid: UNet level 0
+        # stays bf16); the PPO update path is unaffected.  Skipped if the
+        # checkpoint is already an int8 serving tree (quant_int8 in its
+        # _config.json).
+        pipe = pipe.quantize()
     reward_fn = build_reward(cfg)
 
     # topology from config (run_ppo.sh:5 --num_processes equivalent): the

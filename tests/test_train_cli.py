@@ -77,3 +77,76 @@ def test_train_flux_cli_data_parallel(tmp_path, monkeypatch):
     main()
     ckpts = [d.name for d in out.iterdir() if d.name.startswith("checkpoint-")]
     assert ckpts == ["checkpoint-1"]
+
+
+@pytest.mark.slow
+def test_train_sd15_cli_quantized_rollout(tmp_path, monkeypatch):
+    """--set model.quantize_rollout=true swaps the rollout UNet + VAE
+    decoder onto the int8 path (pipeline .quantize()) while the PPO update
+    still trains the float policy; the loop runs and checkpoints."""
+    from consolver_tpu.data.teacher_gen import generate_teacher_set
+
+    teacher_dir = tmp_path / "teacher"
+    generate_teacher_set(
+        lambda key, noise, ids: noise * 0.5,
+        np.tile(np.array([[1, 5, 7, 2]], np.int64), (4, 1)),
+        str(teacher_dir), noise_shape=(8, 8, 4), batch_size=4,
+        uncond_ids=np.array([1, 2, 0, 0], np.int64),
+    )
+
+    out = tmp_path / "run"
+    monkeypatch.setattr(sys, "argv", [
+        "train_sd15.py", "--preset", "sd15_ppo",
+        "--set", f"data.train_data_dir={teacher_dir}",
+        "--set", "data.batch_size=2",
+        "--set", "model.quantize_rollout=true",
+        "--set", "train.max_train_steps=1",
+        "--set", "train.min_inference_steps=2",
+        "--set", "train.max_inference_steps=3",
+        "--set", f"train.output_dir={out}",
+        "--set", "train.checkpointing_steps=1",
+    ])
+    from scripts.train_sd15 import main
+
+    main()
+    assert (out / "checkpoint-1").is_dir()
+
+
+@pytest.mark.slow
+def test_train_flux_cli_quantized_rollout(tmp_path, monkeypatch):
+    """The same knob through the FLUX CLI: quantizes the (not-already-int8)
+    tiny DiT + VAE decoder and completes a train step."""
+    rng = np.random.default_rng(0)
+    teacher_dir = tmp_path / "teacher"
+    teacher_dir.mkdir()
+    for i in range(2):
+        np.savez(
+            teacher_dir / f"{i:06d}.npz",
+            noise=rng.standard_normal((8, 8, 4)).astype(np.float32),
+            latent=rng.standard_normal((8, 8, 4)).astype(np.float32),
+            ref_image=np.zeros((16, 16, 3), np.float32),
+            t5_ids=np.ones((4,), np.int64),
+            clip_ids=np.ones((4,), np.int64),
+        )
+
+    out = tmp_path / "run"
+    monkeypatch.setattr(sys, "argv", [
+        "train_flux.py", "--preset", "flux_ppo",
+        "--set", f"data.train_data_dir={teacher_dir}",
+        "--set", "data.batch_size=2",
+        # pin topology to one shard: the preset's production default is
+        # data_parallel=8, whose 8-way quantized compile is minutes of
+        # pointless work on the 1-core CI box (topology has its own test
+        # above; this one is about the quantize knob)
+        "--set", "dist.data_parallel=1",
+        "--set", "model.quantize_rollout=true",
+        "--set", "train.max_train_steps=1",
+        "--set", "train.min_inference_steps=2",
+        "--set", "train.max_inference_steps=3",
+        "--set", f"train.output_dir={out}",
+        "--set", "train.checkpointing_steps=1",
+    ])
+    from scripts.train_flux import main
+
+    main()
+    assert (out / "checkpoint-1").is_dir()
