@@ -8,7 +8,12 @@ optimizes the solver policy.
 
 Teacher = 40-step DDIM with a tiny random UNet. The factor net must learn
 coefficients that make 3-step previews match the teacher latents better
-than the zero-init (DDIM-equivalent-ish) policy."""
+than the zero-init (DDIM-equivalent-ish) policy.
+
+--quantize runs the same check with the ROLLOUT environment on the int8
+serving path (ModelConfig.quantize_rollout): teacher targets stay float,
+the student rolls out through the quantized UNet/VAE — validating that
+the policy still learns against the environment it will be served in."""
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax; jax.config.update("jax_platforms", "cpu")
@@ -52,6 +57,9 @@ fcfg = FactorNetConfig(order_dim=3, scaler_dim=0, num_actions=11, family="sd")
 fnet = FactorNet(fcfg)
 pipe = TextToImagePipeline(unet, up, te, tp, vae, vp, sched,
                            factor_net=fnet, factor_params=fnet.init(jax.random.key(1)))
+if "--quantize" in sys.argv:
+    print("int8 rollout environment (pipeline .quantize())", flush=True)
+    pipe = pipe.quantize()
 config = TrainConfig(
     max_train_steps=10_000, guidance_scale=3.0,
     min_inference_steps=3, max_inference_steps=4,  # fixed 3 steps
