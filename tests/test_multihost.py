@@ -37,7 +37,9 @@ def test_multihost_two_process_cluster(tmp_path):
         ))
     outs = []
     for w in workers:
-        out, _ = w.communicate(timeout=240)
+        # 174 s clean on this single-core box; headroom for a contended
+        # core (a concurrent 3-way run blew a 240 s ceiling)
+        out, _ = w.communicate(timeout=540)
         outs.append(out.decode(errors="replace"))
     for w, out in zip(workers, outs):
         assert w.returncode == 0, f"worker failed:\n{out[-3000:]}"
