@@ -175,13 +175,16 @@ class FluxKontextPipeline:
         solver: str = "fmppo",
         record: bool = True,
         true_cfg_scale: Optional[float] = None,
+        deterministic_policy: bool = False,
     ):
         """Build/caches the jitted denoise fn for a (latent resolution,
         steps, solver) combination.  mu follows the target-image sequence
-        length (edit_ppo/denoise_diffusion.py:75-84)."""
+        length (edit_ppo/denoise_diffusion.py:75-84).
+        ``deterministic_policy`` = mode actions (serving; see
+        fm.make_fm_denoise_fn)."""
         seq_len = (lh // 2) * (lw // 2)
         key = (lh, lw, seq_txt, num_inference_steps, guidance_scale, solver,
-               record, true_cfg_scale)
+               record, true_cfg_scale, deterministic_policy)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
 
@@ -207,6 +210,7 @@ class FluxKontextPipeline:
             fn = fm.make_fm_denoise_fn(
                 velocity, self.fm_config, self.factor_net, num_inference_steps,
                 mu=mu, record_trajectory=record,
+                deterministic_policy=deterministic_policy,
             )
         else:
             base = fm.make_fm_baseline_denoise_fn(
@@ -231,6 +235,7 @@ class FluxKontextPipeline:
         neg_t5_ids: Optional[jax.Array] = None,
         neg_clip_ids: Optional[jax.Array] = None,
         true_cfg_scale: float = 1.0,
+        deterministic_policy: bool = False,
     ):
         """ref_image [B,H,W,3] in [-1,1]; noise [B,h,w,16] latent noise.
         Returns (edited image or final latents, trajectory).
@@ -250,6 +255,7 @@ class FluxKontextPipeline:
             lh, lw, int(t5_ids.shape[1]), num_inference_steps,
             guidance_scale, solver,
             true_cfg_scale=true_cfg_scale if do_true_cfg else None,
+            deterministic_policy=deterministic_policy,
         )
         if do_true_cfg:
             if neg_clip_ids is None:

@@ -32,6 +32,7 @@ def make_fm_denoise_fn(
     mu: Optional[float] = None,
     record_trajectory: bool = True,
     per_token: bool = False,
+    deterministic_policy: bool = False,
 ):
     """Learnable-FM denoise scan (FMPPOScheduler.step semantics,
     edit_ppo/scheduler_fmppo.py:306-455).
@@ -52,7 +53,11 @@ def make_fm_denoise_fn(
     sigma pair (the reference's per-token conds construction only admits
     one-element sigma tensors) and the velocity model is conditioned on
     the ladder timestep.  With ``per_token=False`` the traced program is
-    unchanged."""
+    unchanged.
+
+    ``deterministic_policy=True`` takes the mode action each step
+    (FactorNet.mode_action) — serving-mode knob making a row's output
+    independent of its batch slot; training must sample."""
     if factor_net is None:
         order_dim, scaler_dim, action_dims = 1, 0, 1
     else:
@@ -90,7 +95,12 @@ def make_fm_denoise_fn(
             if factor_net is not None:
                 k, sub = jax.random.split(k)
                 conds = {"x": conds_x, "epsilon": st.ets}
-                actions, probs = factor_net.sample_action(factor_params, sub, conds)
+                if deterministic_policy:
+                    actions, probs = factor_net.mode_action(factor_params, conds)
+                else:
+                    actions, probs = factor_net.sample_action(
+                        factor_params, sub, conds
+                    )
             else:
                 actions = jnp.zeros((batch, action_dims), jnp.float32)
                 probs = jnp.ones((batch, action_dims), jnp.float32)

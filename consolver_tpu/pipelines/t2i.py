@@ -56,6 +56,7 @@ def make_denoise_fn(
     timestep_spacing: str = "trailing",
     steps_offset: int = 1,
     record_trajectory: bool = True,
+    deterministic_policy: bool = False,
 ) -> Callable[..., Tuple[jax.Array, Optional[Trajectory]]]:
     """Build the jitted denoise function.
 
@@ -65,6 +66,10 @@ def make_denoise_fn(
 
     CFG runs as one 2B-batched UNet call (denoise_ppo.py:66,89-100); with
     guidance_scale <= 1 the uncond branch is skipped entirely.
+
+    ``deterministic_policy=True`` takes the mode action each step
+    (FactorNet.mode_action) instead of sampling — serving-mode knob making
+    a row's output independent of its batch slot; training must sample.
     """
     if factor_net is None:
         # Degenerate DDIM solver: passthrough combine, no sampled actions.
@@ -119,7 +124,12 @@ def make_denoise_fn(
             if factor_net is not None:
                 k, sub = jax.random.split(k)
                 conds = {"x": conds_x, "epsilon": st.ets}
-                actions, probs = factor_net.sample_action(factor_params, sub, conds)
+                if deterministic_policy:
+                    actions, probs = factor_net.mode_action(factor_params, conds)
+                else:
+                    actions, probs = factor_net.sample_action(
+                        factor_params, sub, conds
+                    )
             else:
                 actions = jnp.zeros((batch, action_dims), jnp.float32)
                 probs = jnp.ones((batch, action_dims), jnp.float32)
@@ -453,11 +463,15 @@ class TextToImagePipeline:
         guidance_scale: float,
         record: bool = True,
         solver: str = "consistencysolver",
+        deterministic_policy: bool = False,
     ):
         """``solver='consistencysolver'`` uses the learnable LMM (or plain
         DDIM when no factor net is attached); any other name selects a
-        baseline zoo solver (pipelines/solver_zoo.SOLVERS)."""
-        key = (num_inference_steps, float(guidance_scale), record, solver)
+        baseline zoo solver (pipelines/solver_zoo.SOLVERS).
+        ``deterministic_policy`` = mode actions (serving; see
+        make_denoise_fn)."""
+        key = (num_inference_steps, float(guidance_scale), record, solver,
+               deterministic_policy)
         if key not in self._denoise_cache:
             if solver == "consistencysolver":
                 self._denoise_cache[key] = make_denoise_fn(
@@ -469,6 +483,7 @@ class TextToImagePipeline:
                     self.timestep_spacing,
                     self.steps_offset,
                     record_trajectory=record,
+                    deterministic_policy=deterministic_policy,
                 )
             else:
                 from consolver_tpu.pipelines.solver_zoo import (
@@ -519,12 +534,16 @@ class TextToImagePipeline:
         uncond_ids: Optional[jax.Array] = None,
         decode: bool = True,
         solver: str = "consistencysolver",
+        deterministic_policy: bool = False,
     ):
         """Returns (images or final latents, trajectory)."""
         if uncond_ids is None:
             uncond_ids = self.uncond_ids_for(prompt_ids)
         context, uncond_context = self._encode(self.text_params, prompt_ids, uncond_ids)
-        denoise = self.denoise_fn(num_inference_steps, guidance_scale, solver=solver)
+        denoise = self.denoise_fn(
+            num_inference_steps, guidance_scale, solver=solver,
+            deterministic_policy=deterministic_policy,
+        )
         latents, traj = denoise(
             self.unet_params, self.factor_params, key, noise, context, uncond_context
         )

@@ -199,6 +199,24 @@ class FactorNet:
         values = self.action_values[jnp.arange(self.config.action_dims)[None, :], idx]
         return values, probs
 
+    def mode_action(
+        self, params: Any, conds: Dict[str, jax.Array]
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Most-likely action per dimension (argmax of the logits); same
+        (values [B, A], probs [B, A]) contract as :meth:`sample_action` but
+        RNG-free.  Serving-only: :meth:`sample_action` draws the whole batch
+        from ONE key, so a sampled request's actions depend on its batch
+        slot — mode actions make a request's output a pure function of its
+        own (prompt, seed, program).  The reference has no equivalent (its
+        inference samples from the global torch RNG, scheduler_ppo.py:243);
+        at the FM family's production temperature 0.01 the two paths are
+        near-identical anyway."""
+        logp = self.log_probs(params, conds)
+        idx = jnp.argmax(logp, axis=-1)  # [B, A]
+        probs = jnp.take_along_axis(jnp.exp(logp), idx[..., None], axis=-1)[..., 0]
+        values = self.action_values[jnp.arange(self.config.action_dims)[None, :], idx]
+        return values, probs
+
     def actions_to_indices(self, actions: jax.Array) -> jax.Array:
         """Nearest-grid-point re-indexing (factor_net_ppo.py:174-178)."""
         diffs = jnp.abs(actions[:, :, None] - self.action_values[None, :, :])

@@ -1,6 +1,8 @@
-"""Production serving: micro-batching engine + HTTP front-end."""
+"""Production serving: micro-batching engines + HTTP front-end."""
 
 from consolver_tpu.serve.engine import (
+    EditInferenceEngine,
+    EditRequest,
     EngineShutDown,
     GenerationRequest,
     InferenceEngine,
@@ -8,6 +10,8 @@ from consolver_tpu.serve.engine import (
 from consolver_tpu.serve.http import ServeServer, make_server
 
 __all__ = [
+    "EditInferenceEngine",
+    "EditRequest",
     "EngineShutDown",
     "GenerationRequest",
     "InferenceEngine",

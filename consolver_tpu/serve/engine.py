@@ -1,24 +1,37 @@
-"""Micro-batching inference engine for production serving.
+"""Micro-batching inference engines for production serving.
 
 The reference's only "serving" story is ad-hoc script inference: gen_ppo.py
 spreads prompt chunks over 8 GPUs with a thread pool (gen_ppo.py:446-462)
-and readme.md points users at one-off generation scripts.  A production TPU
-deployment instead wants a *resident compiled program fed by a batching
-queue*: XLA compiles one program per (batch, steps, cfg, solver) signature
-(remote TPU compiles run ~1-3 min), so the engine pins the batch dimension,
-pads partial batches, and coalesces concurrent requests into full batches —
-throughput then follows the measured bench knee (batch 8 int8 hybrid =
-8.3 img/s/chip) instead of degrading to batch-1 latency per request.
+and the edit drivers fork one process per GPU (edit_ppo/generate_ours.py:
+176-189).  A production TPU deployment instead wants a *resident compiled
+program fed by a batching queue*: XLA compiles one program per
+(batch, steps, cfg, solver) signature (remote TPU compiles run ~1-3 min),
+so the engine pins the batch dimension, pads partial batches, and coalesces
+concurrent requests into full batches — throughput then follows the
+measured bench knee (batch 8 int8 hybrid = 8.3 img/s/chip) instead of
+degrading to batch-1 latency per request.
+
+Two engines share the batching core: :class:`InferenceEngine` serves
+text-to-image (SD family) and :class:`EditInferenceEngine` serves
+FLUX-Kontext instructional editing (image + instruction -> edited image).
 
 Determinism contract: each request's initial noise is derived solely from
 its ``seed`` (one PRNG key per row), and every per-sample op in the stack
-(convs, norms, attention) is batch-composition independent — a request
-returns bit-identical pixels whether it rides alone in a padded batch or
-packed with seven strangers (tests/test_serve.py asserts this).  The only
-exception is the ``sde-*`` solver family, whose per-step variance noise is
-drawn from a single rollout key (derived from the batch's first seed), so
-stochastic-solver outputs depend on batch composition — same caveat as any
-batched SDE sampler.
+(convs, norms, attention) is batch-composition independent.  Two stochastic
+exceptions remain when sampling is on:
+
+- the learnable solvers (``consistencysolver`` / ``fmppo``) *sample* policy
+  actions from one batch-shared key, so a request's actions depend on its
+  batch SLOT (arrival order).  Setting ``deterministic=True`` on the
+  request switches to mode actions (FactorNet.mode_action) — the output is
+  then a pure function of (prompt, seed, program key), bit-identical
+  however the batch is composed (tests/test_serve.py pins this).  The
+  reference's inference is globally nondeterministic here (multinomial
+  from the torch global RNG, scheduler_ppo.py:243); at the FM family's
+  production temperature 0.01 sampled and mode actions nearly coincide.
+- the ``sde-*`` solver family draws per-step variance noise from a single
+  rollout key (derived from the batch's first seed) — same caveat as any
+  batched SDE sampler.
 """
 
 from __future__ import annotations
@@ -29,7 +42,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +56,7 @@ class GenerationRequest:
     ``program_key`` groups requests that share a compiled XLA program —
     the engine only batches requests with identical keys (a mixed batch
     would need one program per distinct (steps, cfg, solver) anyway).
+    ``deterministic`` uses mode policy actions (see module docstring).
     """
 
     prompt: str
@@ -50,13 +64,42 @@ class GenerationRequest:
     num_inference_steps: int = 8
     guidance_scale: float = 3.0
     solver: str = "consistencysolver"
+    deterministic: bool = False
 
     @property
-    def program_key(self) -> Tuple[int, float, str]:
+    def program_key(self) -> Tuple:
         return (
             int(self.num_inference_steps),
             float(self.guidance_scale),
             str(self.solver),
+            bool(self.deterministic),
+        )
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class EditRequest:
+    """One instructional-edit request (FLUX-Kontext family).
+
+    ``image`` is the reference image as an [H,W,3] uint8 RGB array; the
+    engine center-crop-resizes it to the engine's pinned resolution (the
+    reference's own prep, edit_pretrain/prepare_data.py:14-43).
+    """
+
+    instruction: str
+    image: np.ndarray
+    seed: int = 0
+    num_inference_steps: int = 5
+    guidance_scale: float = 2.5
+    solver: str = "fmppo"
+    deterministic: bool = False
+
+    @property
+    def program_key(self) -> Tuple:
+        return (
+            int(self.num_inference_steps),
+            float(self.guidance_scale),
+            str(self.solver),
+            bool(self.deterministic),
         )
 
 
@@ -64,40 +107,25 @@ class EngineShutDown(RuntimeError):
     pass
 
 
-class InferenceEngine:
+class _BatchingEngine:
     """Resident worker thread that coalesces requests into padded batches.
+
+    Subclasses implement :meth:`_execute` (list of requests -> list of HWC
+    uint8 images).  Partial batches are padded by repeating the last row
+    (pad rows are computed and discarded).
 
     Parameters
     ----------
-    pipeline : TextToImagePipeline
-        Float or ``.quantize()``-d pipeline; the engine never mutates it.
     batch_size : int
-        The compiled batch dimension.  Partial batches are padded by
-        repeating the last row (pad rows are computed and discarded).
-    latent_size : int
-        Latent H = W; images come out at ``8 * latent_size`` square.
+        The compiled batch dimension.
     flush_ms : float
         How long the worker waits for more same-program requests after the
         first arrives before dispatching a partial batch.
     """
 
-    def __init__(
-        self,
-        pipeline,
-        batch_size: int = 8,
-        latent_size: int = 64,
-        max_length: Optional[int] = None,
-        flush_ms: float = 30.0,
-        max_queue: int = 256,
-    ):
-        self.pipeline = pipeline
+    def __init__(self, batch_size: int = 8, flush_ms: float = 30.0,
+                 max_queue: int = 256):
         self.batch_size = int(batch_size)
-        self.latent_size = int(latent_size)
-        self.max_length = int(
-            max_length
-            if max_length is not None
-            else pipeline.text_encoder.cfg.max_position_embeddings
-        )
         self._flush_s = float(flush_ms) / 1e3
         self._queue: queue.Queue = queue.Queue(maxsize=max_queue)
         self._pending: collections.deque = collections.deque()
@@ -110,16 +138,6 @@ class InferenceEngine:
             "batched_rows": 0,
             "padded_rows": 0,
         }
-        self._noise_fn = jax.jit(
-            jax.vmap(
-                lambda k: jax.random.normal(
-                    k,
-                    (self.latent_size, self.latent_size,
-                     pipeline.unet.cfg.in_channels),
-                    jnp.float32,
-                )
-            )
-        )
         self._stop = threading.Event()
         self._worker = threading.Thread(
             target=self._run, name="consolver-serve-worker", daemon=True
@@ -127,7 +145,7 @@ class InferenceEngine:
         self._worker.start()
 
     # ------------------------------------------------------------- public
-    def submit(self, request: GenerationRequest) -> Future:
+    def submit(self, request) -> Future:
         """Enqueue; the Future resolves to a HWC uint8 numpy image."""
         if self._stop.is_set():
             raise EngineShutDown("engine is shut down")
@@ -137,11 +155,25 @@ class InferenceEngine:
             self._stats["requests"] += 1
         return fut
 
-    def generate(
-        self, request: GenerationRequest, timeout: Optional[float] = None
-    ) -> np.ndarray:
+    def generate(self, request, timeout: Optional[float] = None) -> np.ndarray:
         """Blocking convenience wrapper around :meth:`submit`."""
         return self.submit(request).result(timeout)
+
+    def prewarm(self, *requests, timeout: Optional[float] = None) -> int:
+        """Compile one resident program per distinct request signature.
+
+        Runs one (padded) dummy batch per ``program_key`` through the
+        normal queue and discards the images — call before exposing the
+        server so the first real request skips the remote TPU compile
+        (~1-3 min per signature).  Returns the number of distinct
+        programs warmed.
+        """
+        futs = {}
+        for r in requests:
+            futs.setdefault(r.program_key, self.submit(r))
+        for fut in futs.values():
+            fut.result(timeout)
+        return len(futs)
 
     def stats(self) -> dict:
         with self._lock:
@@ -201,14 +233,11 @@ class InferenceEngine:
                 else:
                     rest.append(item)
             self._pending = rest
-            self._serve_batch(key, batch)
+            self._serve_batch(batch)
 
-    def _serve_batch(self, key, batch) -> None:
-        steps, cfg_scale, solver = key
+    def _serve_batch(self, batch) -> None:
         try:
-            images = self._execute(
-                [r for r, _ in batch], steps, cfg_scale, solver
-            )
+            images = self._execute([r for r, _ in batch])
         except Exception as exc:  # surface to every caller in the batch
             with self._lock:
                 self._stats["errors"] += len(batch)
@@ -224,12 +253,68 @@ class InferenceEngine:
         for (_, fut), img in zip(batch, images):
             fut.set_result(img)
 
-    def _execute(self, requests, steps, cfg_scale, solver):
+    def _execute(self, requests) -> list:
+        raise NotImplementedError
+
+    # ------------------------------------------------------------ helpers
+    def _pad(self, items: list) -> list:
+        return items + [items[-1]] * (self.batch_size - len(items))
+
+    @staticmethod
+    def _to_uint8(images: jax.Array, n: int) -> list:
+        images = np.asarray(jax.device_get(images[:n]))
+        return [
+            (np.clip(im, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+            for im in images
+        ]
+
+
+class InferenceEngine(_BatchingEngine):
+    """Text-to-image serving engine (SD family).
+
+    Parameters
+    ----------
+    pipeline : TextToImagePipeline
+        Float or ``.quantize()``-d pipeline; the engine never mutates it.
+    latent_size : int
+        Latent H = W; images come out at ``2**(vae levels - 1) *
+        latent_size`` square (8x for SD-1.5's 4-level VAE).
+    """
+
+    def __init__(
+        self,
+        pipeline,
+        batch_size: int = 8,
+        latent_size: int = 64,
+        max_length: Optional[int] = None,
+        flush_ms: float = 30.0,
+        max_queue: int = 256,
+    ):
+        self.pipeline = pipeline
+        self.latent_size = int(latent_size)
+        self.max_length = int(
+            max_length
+            if max_length is not None
+            else pipeline.text_encoder.cfg.max_position_embeddings
+        )
+        self._noise_fn = jax.jit(
+            jax.vmap(
+                lambda k: jax.random.normal(
+                    k,
+                    (self.latent_size, self.latent_size,
+                     pipeline.unet.cfg.in_channels),
+                    jnp.float32,
+                )
+            )
+        )
+        super().__init__(batch_size, flush_ms, max_queue)
+
+    def _execute(self, requests) -> list:
         from consolver_tpu.data.tokenizer import HashTokenizer, tokenize_batch
 
         n = len(requests)
-        pad = self.batch_size - n
-        prompts = [r.prompt for r in requests] + [requests[-1].prompt] * pad
+        steps, cfg_scale, solver, deterministic = requests[0].program_key
+        prompts = self._pad([r.prompt for r in requests])
         tok = self.pipeline.tokenizer or HashTokenizer(
             max_length=self.max_length
         )
@@ -237,8 +322,7 @@ class InferenceEngine:
             tok, prompts, self.max_length,
             vocab_size=self.pipeline.text_encoder.cfg.vocab_size,
         )
-        seeds = [int(r.seed) for r in requests]
-        seeds += [seeds[-1]] * pad
+        seeds = self._pad([int(r.seed) for r in requests])
         noise = self._noise_fn(jax.vmap(jax.random.key)(jnp.asarray(seeds)))
         images, _ = self.pipeline(
             jax.random.key(seeds[0]),
@@ -247,9 +331,99 @@ class InferenceEngine:
             num_inference_steps=steps,
             guidance_scale=cfg_scale,
             solver=solver,
+            deterministic_policy=deterministic,
         )
-        images = np.asarray(jax.device_get(images[:n]))
-        return [
-            (np.clip(im, 0.0, 1.0) * 255.0).round().astype(np.uint8)
-            for im in images
-        ]
+        return self._to_uint8(images, n)
+
+
+class EditInferenceEngine(_BatchingEngine):
+    """FLUX-Kontext instructional-edit serving engine.
+
+    Serves ``EditRequest``s against a resident :class:`FluxKontextPipeline`
+    (int8-quantized 11.9B Kontext fits ONE v5e chip — measured ~6.8 s per
+    5-step 1024^2 edit, docs/SERVING.md).  The image resolution is pinned
+    per engine (one packed-sequence length = one compiled program);
+    incoming reference images are center-crop-resized on the host, exactly
+    the reference's own prep (edit_pretrain/prepare_data.py:14-43).
+
+    ``t5_tokenizer``/``clip_tokenizer``: optional real tokenizers
+    (data.tokenizer.load_tokenizer); smoke mode hashes.
+    """
+
+    def __init__(
+        self,
+        pipeline,
+        resolution: int = 1024,
+        batch_size: int = 1,
+        t5_tokenizer: Any = None,
+        clip_tokenizer: Any = None,
+        t5_max_length: int = 128,
+        clip_max_length: int = 77,
+        flush_ms: float = 30.0,
+        max_queue: int = 256,
+    ):
+        self.pipeline = pipeline
+        self.resolution = int(resolution)
+        vae_factor = 2 ** (len(pipeline.vae.cfg.block_out_channels) - 1)
+        if self.resolution % (2 * vae_factor):
+            raise ValueError(
+                f"resolution {resolution} must be a multiple of "
+                f"{2 * vae_factor} (VAE stride x 2x2 packing)"
+            )
+        self.latent_size = self.resolution // vae_factor
+        self.t5_tokenizer = t5_tokenizer
+        self.clip_tokenizer = clip_tokenizer
+        self.t5_max_length = int(t5_max_length)
+        self.clip_max_length = int(clip_max_length)
+        self._noise_fn = jax.jit(
+            jax.vmap(
+                lambda k: jax.random.normal(
+                    k,
+                    (self.latent_size, self.latent_size,
+                     pipeline.vae.cfg.latent_channels),
+                    jnp.float32,
+                )
+            )
+        )
+        super().__init__(batch_size, flush_ms, max_queue)
+
+    def _execute(self, requests) -> list:
+        from consolver_tpu.data.edit_prep import center_crop_resize
+        from consolver_tpu.data.tokenizer import HashTokenizer, tokenize_batch
+
+        n = len(requests)
+        steps, cfg_scale, solver, deterministic = requests[0].program_key
+        instructions = self._pad([r.instruction for r in requests])
+        refs01 = self._pad([
+            center_crop_resize(np.asarray(r.image), self.resolution)
+            for r in requests
+        ])
+        ref = jnp.asarray(np.stack(refs01) * 2.0 - 1.0)
+        t5_tok = self.t5_tokenizer or HashTokenizer(
+            max_length=self.t5_max_length
+        )
+        clip_tok = self.clip_tokenizer or HashTokenizer(
+            max_length=self.clip_max_length
+        )
+        t5_ids = jnp.asarray(tokenize_batch(
+            t5_tok, instructions, self.t5_max_length,
+            vocab_size=self.pipeline.t5.cfg.vocab_size,
+        ))
+        clip_ids = jnp.asarray(tokenize_batch(
+            clip_tok, instructions, self.clip_max_length,
+            vocab_size=self.pipeline.clip.cfg.vocab_size,
+        ))
+        seeds = self._pad([int(r.seed) for r in requests])
+        noise = self._noise_fn(jax.vmap(jax.random.key)(jnp.asarray(seeds)))
+        images, _ = self.pipeline(
+            jax.random.key(seeds[0]),
+            t5_ids,
+            clip_ids,
+            ref,
+            noise,
+            num_inference_steps=steps,
+            guidance_scale=cfg_scale,
+            solver=solver,
+            deterministic_policy=deterministic,
+        )
+        return self._to_uint8(images, n)

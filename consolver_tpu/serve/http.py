@@ -1,18 +1,23 @@
-"""Stdlib HTTP front-end for :class:`~consolver_tpu.serve.InferenceEngine`.
+"""Stdlib HTTP front-end for the serving engines.
 
 Endpoints
 ---------
 ``GET /healthz``          liveness probe -> ``{"ok": true}``
 ``GET /v1/stats``         engine counters (batches, occupancy, errors)
 ``POST /v1/generate``     JSON body ``{"prompt", "seed", "num_inference_steps",
-                          "guidance_scale", "solver"}`` -> JSON with a
-                          base64 PNG (``image_png_b64``) + timing.
+                          "guidance_scale", "solver", "deterministic"}``
+                          -> JSON with a base64 PNG (``image_png_b64``) + timing.
+``POST /v1/edit``         JSON body ``{"instruction", "image_png_b64", "seed",
+                          "num_inference_steps", "guidance_scale", "solver",
+                          "deterministic"}`` -> edited image as base64 PNG.
+                          404 unless the server was built with an edit engine.
 
 A ``ThreadingHTTPServer`` handles sockets; every handler thread blocks on
 the engine's Future, so concurrent HTTP requests coalesce into one compiled
 TPU batch — the whole point of the engine.  The reference has no serving
 layer at all (its inference surface is gen_ppo.py's script-level thread
-pool); this is deployment surface beyond parity.
+pool and the edit drivers' fork-per-GPU, edit_ppo/generate_ours.py:176-189);
+this is deployment surface beyond parity.
 """
 
 from __future__ import annotations
@@ -22,16 +27,26 @@ import io
 import json
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
 
-from consolver_tpu.serve.engine import GenerationRequest, InferenceEngine
+import numpy as np
 
-_REQUEST_FIELDS = {
-    "prompt": str,
+from consolver_tpu.serve.engine import (
+    EditInferenceEngine,
+    EditRequest,
+    GenerationRequest,
+    InferenceEngine,
+)
+
+_COMMON_FIELDS = {
     "seed": int,
     "num_inference_steps": int,
     "guidance_scale": float,
     "solver": str,
+    "deterministic": bool,
 }
+_GENERATE_FIELDS = {"prompt": str, **_COMMON_FIELDS}
+_EDIT_FIELDS = {"instruction": str, **_COMMON_FIELDS}
 
 
 def _png_b64(image) -> str:
@@ -40,6 +55,14 @@ def _png_b64(image) -> str:
     buf = io.BytesIO()
     Image.fromarray(image).save(buf, format="PNG")
     return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _decode_image_b64(b64: str) -> np.ndarray:
+    from PIL import Image
+
+    raw = base64.b64decode(b64, validate=True)
+    img = Image.open(io.BytesIO(raw)).convert("RGB")
+    return np.asarray(img, np.uint8)
 
 
 class ServeHandler(BaseHTTPRequestHandler):
@@ -61,32 +84,66 @@ class ServeHandler(BaseHTTPRequestHandler):
         if self.path == "/healthz":
             self._reply(200, {"ok": True})
         elif self.path == "/v1/stats":
-            self._reply(200, self.server.engine.stats())
+            stats = {}
+            if self.server.engine is not None:
+                stats["generate"] = self.server.engine.stats()
+            if self.server.edit_engine is not None:
+                stats["edit"] = self.server.edit_engine.stats()
+            if len(stats) == 1:  # single-engine servers keep the flat shape
+                stats = next(iter(stats.values()))
+            self._reply(200, stats)
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
+    def _parse(self, fields: dict, payload: dict, required: str) -> dict:
+        if required not in payload:
+            raise ValueError(f"missing required field '{required}'")
+        return {
+            name: cast(payload[name])
+            for name, cast in fields.items()
+            if name in payload
+        }
+
     def do_POST(self):  # noqa: N802 - stdlib name
-        if self.path != "/v1/generate":
-            self._reply(404, {"error": f"unknown path {self.path}"})
-            return
         try:
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
-            if "prompt" not in payload:
-                raise ValueError("missing required field 'prompt'")
-            kwargs = {}
-            for name, cast in _REQUEST_FIELDS.items():
-                if name in payload:
-                    kwargs[name] = cast(payload[name])
-            request = GenerationRequest(**kwargs)
-        except (ValueError, TypeError, json.JSONDecodeError) as exc:
+        except (ValueError, json.JSONDecodeError) as exc:
             self._reply(400, {"error": str(exc)})
             return
+
+        if self.path == "/v1/generate":
+            engine = self.server.engine
+            if engine is None:
+                self._reply(404, {"error": "no text-to-image engine configured"})
+                return
+            try:
+                kwargs = self._parse(_GENERATE_FIELDS, payload, "prompt")
+                request = GenerationRequest(**kwargs)
+            except (ValueError, TypeError) as exc:
+                self._reply(400, {"error": str(exc)})
+                return
+        elif self.path == "/v1/edit":
+            engine = self.server.edit_engine
+            if engine is None:
+                self._reply(404, {"error": "no edit engine configured"})
+                return
+            try:
+                kwargs = self._parse(_EDIT_FIELDS, payload, "instruction")
+                if "image_png_b64" not in payload:
+                    raise ValueError("missing required field 'image_png_b64'")
+                kwargs["image"] = _decode_image_b64(payload["image_png_b64"])
+                request = EditRequest(**kwargs)
+            except (ValueError, TypeError, base64.binascii.Error) as exc:
+                self._reply(400, {"error": str(exc)})
+                return
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+            return
+
         t0 = time.monotonic()
         try:
-            image = self.server.engine.generate(
-                request, timeout=self.server.request_timeout
-            )
+            image = engine.generate(request, timeout=self.server.request_timeout)
         except Exception as exc:  # engine/solver error -> 500 with message
             self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
             return
@@ -105,18 +162,28 @@ class ServeHandler(BaseHTTPRequestHandler):
 class ServeServer(ThreadingHTTPServer):
     daemon_threads = True
 
-    def __init__(self, address, engine: InferenceEngine,
-                 request_timeout: float = 600.0):
+    def __init__(self, address, engine: Optional[InferenceEngine],
+                 request_timeout: float = 600.0,
+                 edit_engine: Optional[EditInferenceEngine] = None):
         super().__init__(address, ServeHandler)
         self.engine = engine
+        self.edit_engine = edit_engine
         self.request_timeout = request_timeout
 
 
 def make_server(
-    engine: InferenceEngine,
+    engine: Optional[InferenceEngine] = None,
     host: str = "127.0.0.1",
     port: int = 8000,
     request_timeout: float = 600.0,
+    edit_engine: Optional[EditInferenceEngine] = None,
 ) -> ServeServer:
-    """Bind (``port=0`` picks a free one; read ``server.server_address``)."""
-    return ServeServer((host, port), engine, request_timeout)
+    """Bind (``port=0`` picks a free one; read ``server.server_address``).
+
+    Pass ``engine`` for ``/v1/generate`` (SD family), ``edit_engine`` for
+    ``/v1/edit`` (FLUX-Kontext), or both to serve the two families from one
+    process (each engine owns its own resident compiled programs)."""
+    if engine is None and edit_engine is None:
+        raise ValueError("need at least one engine")
+    return ServeServer((host, port), engine, request_timeout,
+                       edit_engine=edit_engine)

@@ -1,29 +1,41 @@
 #!/usr/bin/env python
 """Production serving CLI: resident micro-batching HTTP server.
 
+  # text-to-image (SD family)
   python scripts/serve.py --pretrained ckpts/sd15 \
       [--factor-ckpt runs/ppo/checkpoint-3000] [--quantize] \
       [--port 8000] [--batch-size 8]
 
-Runs the SD stack as a resident TPU program behind a batching queue
-(consolver_tpu/serve): concurrent POST /v1/generate requests with the same
-(steps, cfg, solver) signature coalesce into one compiled batch — the
-measured serving knee is batch 8 (int8 hybrid 8.3 img/s/chip).  --quantize
-flips the pipeline to the W8A8 serving path (pipelines .quantize()).
+  # instructional editing (FLUX-Kontext family)
+  python scripts/serve.py --family edit --pretrained ckpts/flux \
+      [--factor-ckpt runs/edit/checkpoint-1000] [--quantize] \
+      [--resolution 1024]
 
-The reference has no serving layer (its inference surface is gen_ppo.py's
-script-level GPU thread pool, gen_ppo.py:446-462) — this is deployment
+Runs the stack as a resident TPU program behind a batching queue
+(consolver_tpu/serve): concurrent POST /v1/generate (or /v1/edit) requests
+with the same (steps, cfg, solver) signature coalesce into one compiled
+batch — the measured SD serving knee is batch 8 (int8 hybrid
+8.3 img/s/chip); the int8 11.9B Kontext DiT fits ONE v5e chip at ~6.8 s
+per 5-step 1024^2 edit (docs/SERVING.md).  --quantize flips the pipeline
+to the W8A8 serving path (pipelines .quantize()).
+
+The reference has no serving layer (its inference surfaces are gen_ppo.py's
+script-level GPU thread pool, gen_ppo.py:446-462, and the edit drivers'
+fork-per-GPU, edit_ppo/generate_ours.py:176-189) — this is deployment
 surface beyond parity.  Smoke mode (no --pretrained) serves tiny random
 models for integration testing:
 
   curl -s localhost:8000/healthz
   curl -s -X POST localhost:8000/v1/generate \
       -d '{"prompt": "a photo of a corgi", "seed": 7}'
+  curl -s -X POST localhost:8000/v1/edit \
+      -d "{\"instruction\": \"make it snow\", \"image_png_b64\": \"$(base64 -w0 in.png)\"}"
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import sys
 
@@ -32,27 +44,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--pretrained", default=None)
-    ap.add_argument("--factor-ckpt", default=None)
-    ap.add_argument("--quantize", action="store_true",
-                    help="serve the W8A8 int8 path (pipeline.quantize())")
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=8000)
-    ap.add_argument("--batch-size", type=int, default=8)
-    ap.add_argument("--latent-size", type=int, default=None,
-                    help="latent H=W (default: 64 with --pretrained, 8 smoke)")
-    ap.add_argument("--flush-ms", type=float, default=30.0)
-    ap.add_argument("--request-timeout", type=float, default=600.0,
-                    help="per-request ceiling; first request of a new "
-                         "(steps, cfg, solver) signature pays the remote "
-                         "TPU compile (~1-3 min)")
-    args = ap.parse_args()
-
+def build_t2i_engine(args):
     from consolver_tpu.configs.config import ExperimentConfig, apply_overrides
     from consolver_tpu.policy import FactorNet
-    from consolver_tpu.serve import InferenceEngine, make_server
+    from consolver_tpu.serve import InferenceEngine
     from scripts.train_sd15 import build_pipeline, load_factor_ckpt
 
     cfg = ExperimentConfig.sd15_ppo()
@@ -72,16 +67,131 @@ def main():
         pipe = pipe.quantize()
 
     latent = args.latent_size or (64 if args.pretrained else 8)
-    engine = InferenceEngine(
-        pipe, batch_size=args.batch_size, latent_size=latent,
-        flush_ms=args.flush_ms,
+    batch = args.batch_size if args.batch_size is not None else 8
+    return InferenceEngine(
+        pipe, batch_size=batch, latent_size=latent, flush_ms=args.flush_ms,
+    ), f"generate batch={batch} latent={latent}"
+
+
+def build_edit_engine(args):
+    from consolver_tpu.configs.config import ExperimentConfig, apply_overrides
+    from consolver_tpu.data.tokenizer import load_tokenizer
+    from consolver_tpu.policy import FactorNet
+    from consolver_tpu.serve import EditInferenceEngine
+    from scripts.train_flux import build_pipeline
+    from scripts.train_sd15 import load_factor_ckpt
+
+    cfg = ExperimentConfig.flux_ppo()
+    if args.pretrained:
+        cfg = apply_overrides(cfg, {"model.pretrained_path": args.pretrained})
+
+    fcfg = cfg.factor_net
+    if args.factor_ckpt:
+        fcfg, fparams = load_factor_ckpt(args.factor_ckpt, fcfg)
+        fnet = FactorNet(fcfg)
+    else:
+        fnet = FactorNet(fcfg)
+        fparams = fnet.init(jax.random.key(0))
+    pipe = build_pipeline(cfg, fnet, fparams)
+    if args.quantize and not pipe.transformer.cfg.quant_int8:
+        print("serving the int8 W8A8 path (.quantize())", flush=True)
+        pipe = pipe.quantize()
+
+    # real tokenizer dirs ride inside converted checkpoints
+    # (convert_checkpoints.py / quantize_checkpoint.py copy them through)
+    t5_tok = load_tokenizer(
+        os.path.join(args.pretrained, "tokenizer_t5") if args.pretrained else None,
+        kind="t5", max_length=args.t5_max_length,
     )
-    server = make_server(engine, host=args.host, port=args.port,
-                         request_timeout=args.request_timeout)
+    clip_tok = load_tokenizer(
+        os.path.join(args.pretrained, "tokenizer") if args.pretrained else None,
+        kind="clip", max_length=77,
+    )
+    resolution = args.resolution or (1024 if args.pretrained else 16)
+    batch = args.batch_size if args.batch_size is not None else 1
+    return EditInferenceEngine(
+        pipe, resolution=resolution, batch_size=batch,
+        t5_tokenizer=t5_tok, clip_tokenizer=clip_tok,
+        t5_max_length=args.t5_max_length,
+        clip_max_length=4 if not args.pretrained else 77,
+        flush_ms=args.flush_ms,
+    ), f"edit batch={batch} resolution={resolution}"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=("sd", "edit"), default="sd",
+                    help="sd = /v1/generate (SD-1.5 class); "
+                         "edit = /v1/edit (FLUX-Kontext)")
+    ap.add_argument("--pretrained", default=None)
+    ap.add_argument("--factor-ckpt", default=None)
+    ap.add_argument("--quantize", action="store_true",
+                    help="serve the W8A8 int8 path (pipeline.quantize())")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="compiled batch dim (default: 8 sd, 1 edit)")
+    ap.add_argument("--latent-size", type=int, default=None,
+                    help="[sd] latent H=W (default: 64 with --pretrained, 8 smoke)")
+    ap.add_argument("--resolution", type=int, default=None,
+                    help="[edit] pinned image H=W (default: 1024 with "
+                         "--pretrained, 16 smoke)")
+    ap.add_argument("--t5-max-length", type=int, default=128)
+    ap.add_argument("--prewarm", nargs="*", type=int, metavar="STEPS",
+                    default=None,
+                    help="compile the serving program(s) BEFORE binding the "
+                         "port: bare --prewarm warms the family's default "
+                         "step count; --prewarm 5 8 warms one program per "
+                         "listed step count (remote TPU compiles run "
+                         "~1-3 min each, so the first request would "
+                         "otherwise eat them)")
+    ap.add_argument("--flush-ms", type=float, default=30.0)
+    ap.add_argument("--request-timeout", type=float, default=600.0,
+                    help="per-request ceiling; first request of a new "
+                         "(steps, cfg, solver) signature pays the remote "
+                         "TPU compile (~1-3 min)")
+    args = ap.parse_args()
+
+    from consolver_tpu.serve import make_server
+
+    if args.family == "edit":
+        engine, desc = build_edit_engine(args)
+    else:
+        engine, desc = build_t2i_engine(args)
+
+    if args.prewarm is not None:
+        import numpy as np
+        import time as _time
+
+        from consolver_tpu.serve import EditRequest, GenerationRequest
+
+        if args.family == "edit":
+            gray = np.full((engine.resolution, engine.resolution, 3), 127,
+                           np.uint8)
+            reqs = [EditRequest(instruction="prewarm", image=gray)]
+            if args.prewarm:
+                reqs = [dataclasses.replace(r, num_inference_steps=s)
+                        for r in reqs for s in args.prewarm]
+        else:
+            reqs = [GenerationRequest(prompt="prewarm")]
+            if args.prewarm:
+                reqs = [dataclasses.replace(r, num_inference_steps=s)
+                        for r in reqs for s in args.prewarm]
+        t0 = _time.monotonic()
+        n = engine.prewarm(*reqs, timeout=args.request_timeout)
+        print(f"prewarmed {n} program(s) in "
+              f"{_time.monotonic() - t0:.1f}s", flush=True)
+
+    if args.family == "edit":
+        server = make_server(edit_engine=engine, host=args.host,
+                             port=args.port,
+                             request_timeout=args.request_timeout)
+    else:
+        server = make_server(engine, host=args.host, port=args.port,
+                             request_timeout=args.request_timeout)
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port}  "
-          f"(batch={args.batch_size}, latent={latent}, "
-          f"devices={jax.device_count()})", flush=True)
+          f"({desc}, devices={jax.device_count()})", flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -88,16 +88,18 @@ def build_pipeline(cfg, factor_net, factor_params):
     vae = AutoencoderKL(VaeConfig(block_out_channels=(8, 16), layers_per_block=1,
                                   norm_num_groups=4, latent_channels=4))
     img = jnp.zeros((1, 32, fcfg.in_channels))
-    tr_params = transformer.init(
+    # jitted inits: eager flax .init dispatches hundreds of per-op compiles,
+    # each a serialized RPC on the tunneled TPU (minutes)
+    tr_params = jax.jit(transformer.init)(
         k[0], img, jnp.zeros((1, s_txt, fcfg.joint_text_dim)),
         jnp.zeros((1, fcfg.pooled_text_dim)), jnp.ones((1,)), jnp.ones((1,)),
         jnp.zeros((32, 3)), jnp.zeros((s_txt, 3)),
     )
     return FluxKontextPipeline(
         transformer, tr_params,
-        t5, t5.init(k[1], jnp.zeros((1, s_txt), jnp.int32)),
-        clip, clip.init(k[2], jnp.zeros((1, s_txt), jnp.int32)),
-        vae, vae.init(k[3], jnp.zeros((1, 16, 16, 3)), k[4]),
+        t5, jax.jit(t5.init)(k[1], jnp.zeros((1, s_txt), jnp.int32)),
+        clip, jax.jit(clip.init)(k[2], jnp.zeros((1, s_txt), jnp.int32)),
+        vae, jax.jit(vae.init)(k[3], jnp.zeros((1, 16, 16, 3)), k[4]),
         factor_net=factor_net, factor_params=factor_params,
     )
 

@@ -110,12 +110,14 @@ def build_pipeline(cfg, factor_net, factor_params):
         unet, vae = UNet2DCondition(ucfg), AutoencoderKL(vcfg)
         te = ClipTextEncoder(tcfg)
         k = jax.random.split(jax.random.key(0), 4)
-        unet_params = unet.init(
+        # jitted inits: eager flax .init dispatches hundreds of per-op
+        # compiles, each a serialized RPC on the tunneled TPU (minutes)
+        unet_params = jax.jit(unet.init)(
             k[0], jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
             jnp.zeros((1, 4, tcfg.hidden_size)),
         )
-        vae_params = vae.init(k[1], jnp.zeros((1, 16, 16, 3)), k[2])
-        te_params = te.init(k[3], jnp.zeros((1, 4), jnp.int32))
+        vae_params = jax.jit(vae.init)(k[1], jnp.zeros((1, 16, 16, 3)), k[2])
+        te_params = jax.jit(te.init)(k[3], jnp.zeros((1, 4), jnp.int32))
 
     return TextToImagePipeline(
         unet, unet_params, te, te_params, vae, vae_params,

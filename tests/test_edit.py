@@ -12,8 +12,8 @@ from consolver_tpu.pipelines.edit import FluxKontextPipeline
 from consolver_tpu.policy import FactorNet, FactorNetConfig
 
 
-@pytest.fixture(scope="module")
-def pipe():
+def make_tiny_flux_pipeline():
+    """Tiny random FLUX-Kontext stack (also reused by test_serve)."""
     fcfg = FluxConfig.tiny()  # in_channels=16 => latent channels 4
     transformer = FluxTransformer(fcfg)
     keys = jax.random.split(jax.random.key(0), 8)
@@ -49,6 +49,11 @@ def pipe():
         transformer, tr_params, t5, t5_params, clip, clip_params, vae, vae_params,
         factor_net=fnet, factor_params=fnet.init(keys[5]),
     )
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return make_tiny_flux_pipeline()
 
 
 def test_fmppo_edit_rollout(pipe):

@@ -19,7 +19,12 @@ import pytest
 
 from consolver_tpu.core import schedules
 from consolver_tpu.pipelines.t2i import TextToImagePipeline
-from consolver_tpu.serve import GenerationRequest, InferenceEngine, make_server
+from consolver_tpu.serve import (
+    EditRequest,
+    GenerationRequest,
+    InferenceEngine,
+    make_server,
+)
 from test_pipeline import make_tiny_stack
 
 BATCH = 4
@@ -49,6 +54,22 @@ def engine(pipeline):
 def _req(i, **kw):
     kw.setdefault("num_inference_steps", 2)
     return GenerationRequest(prompt=f"prompt {i}", seed=100 + i, **kw)
+
+
+def test_prewarm_compiles_one_program_per_signature(engine):
+    """prewarm dedupes by program_key and leaves the compiled denoise fn
+    resident in the pipeline cache, so the first real request skips it."""
+    n = engine.prewarm(
+        _req(0), _req(1), _req(2, num_inference_steps=3), timeout=300
+    )
+    assert n == 2  # two distinct (steps, cfg, solver, det) signatures
+    cache_keys = set(engine.pipeline._denoise_cache)
+    assert (2, 3.0, True, "consistencysolver", False) in cache_keys
+    assert (3, 3.0, True, "consistencysolver", False) in cache_keys
+    before = engine.stats()["batches"]
+    img = engine.generate(_req(5), timeout=300)
+    assert img.shape == SHAPE
+    assert engine.stats()["batches"] == before + 1
 
 
 def test_single_request_pads_and_serves(engine):
@@ -160,3 +181,162 @@ def test_shutdown_fails_queued_requests(pipeline):
     eng.shutdown()
     with pytest.raises(Exception):
         eng.submit(_req(1))
+
+
+# ---------------------------------------------------------------- policy
+# With a learnable policy attached, SAMPLED actions come from one
+# batch-shared key (a request's actions depend on its batch slot);
+# deterministic=True switches to mode actions (FactorNet.mode_action) and
+# restores the engine's determinism contract.
+
+
+@pytest.fixture(scope="module")
+def policy_pipeline():
+    from consolver_tpu.policy import FactorNet, FactorNetConfig
+
+    (unet, up), (te, tp), (vae, vp) = make_tiny_stack()
+    fcfg = FactorNetConfig(order_dim=2, scaler_dim=0, num_actions=11,
+                           family="sd")
+    fnet = FactorNet(fcfg)
+    return TextToImagePipeline(
+        unet, up, te, tp, vae, vp, schedules.DiffusionSchedule.sd15(),
+        factor_net=fnet, factor_params=fnet.init(jax.random.key(3)),
+    )
+
+
+def test_deterministic_policy_is_slot_independent(policy_pipeline):
+    eng = InferenceEngine(
+        policy_pipeline, batch_size=BATCH, latent_size=LATENT, flush_ms=150.0
+    )
+    try:
+        req = _req(0, deterministic=True)
+        solo = eng.generate(req, timeout=300)
+        # same request now rides in slot 2 of a full batch
+        futs = [eng.submit(_req(i + 10, deterministic=True)) for i in range(2)]
+        futs.append(eng.submit(req))
+        futs.append(eng.submit(_req(13, deterministic=True)))
+        packed = [f.result(timeout=300) for f in futs]
+        np.testing.assert_array_equal(solo, packed[2])
+        # deterministic and sampled share neither program nor batch
+        assert eng.generate(_req(0), timeout=300).shape == SHAPE
+        assert eng.stats()["batches"] == 3
+    finally:
+        eng.shutdown()
+
+
+def test_mode_action_matches_argmax(policy_pipeline):
+    """mode_action returns the argmax-probability grid values, RNG-free."""
+    import jax.numpy as jnp
+
+    fnet = policy_pipeline.factor_net
+    params = policy_pipeline.factor_params
+    conds = {
+        "x": jax.random.normal(jax.random.key(0), (2, fnet.config.input_dim)),
+        "epsilon": jax.random.normal(
+            jax.random.key(1), (2, fnet.config.order_dim, 8, 8, 4)
+        ),
+    }
+    values, probs = fnet.mode_action(params, conds)
+    logp = fnet.log_probs(params, conds)
+    idx = jnp.argmax(logp, axis=-1)
+    expect = fnet.action_values[jnp.arange(fnet.config.action_dims)[None, :], idx]
+    np.testing.assert_array_equal(np.asarray(values), np.asarray(expect))
+    assert float(probs.min()) > 0.0
+    # mode probability must be the max probability per dim
+    np.testing.assert_allclose(
+        np.asarray(probs), np.asarray(jnp.exp(logp).max(-1)), rtol=1e-6
+    )
+
+
+# ------------------------------------------------------------------ edit
+
+
+@pytest.fixture(scope="module")
+def edit_engine():
+    from consolver_tpu.serve import EditInferenceEngine
+    from test_edit import make_tiny_flux_pipeline
+
+    eng = EditInferenceEngine(
+        make_tiny_flux_pipeline(),
+        resolution=16,  # tiny 2-level VAE (stride 2) x 2x2 packing
+        batch_size=2,
+        t5_max_length=4,
+        clip_max_length=4,
+        flush_ms=100.0,
+    )
+    yield eng
+    eng.shutdown()
+
+
+def _edit_req(i, **kw):
+    kw.setdefault("num_inference_steps", 2)
+    rng = np.random.default_rng(i)
+    image = rng.integers(0, 256, (24, 20, 3), np.uint8)  # non-square input
+    return EditRequest(instruction=f"edit {i}", image=image, seed=200 + i, **kw)
+
+
+def test_edit_single_request(edit_engine):
+    img = edit_engine.generate(_edit_req(0), timeout=300)
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    s = edit_engine.stats()
+    assert s["batches"] == 1 and s["padded_rows"] == 1
+
+
+def test_edit_deterministic_slot_independent(edit_engine):
+    req = _edit_req(1, deterministic=True)
+    solo = edit_engine.generate(req, timeout=300)
+    futs = [edit_engine.submit(_edit_req(9, deterministic=True)),
+            edit_engine.submit(req)]
+    packed = [f.result(timeout=300) for f in futs]
+    np.testing.assert_array_equal(solo, packed[1])
+    assert not np.array_equal(packed[0], packed[1])
+
+
+def test_edit_http_roundtrip(edit_engine):
+    from PIL import Image
+
+    server = make_server(edit_engine=edit_engine, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        buf = io.BytesIO()
+        rng = np.random.default_rng(5)
+        Image.fromarray(rng.integers(0, 256, (20, 24, 3), np.uint8)).save(
+            buf, format="PNG"
+        )
+        body = json.dumps({
+            "instruction": "make it snow",
+            "image_png_b64": base64.b64encode(buf.getvalue()).decode(),
+            "seed": 11,
+            "num_inference_steps": 2,
+        }).encode()
+        req = urllib.request.Request(f"{base}/v1/edit", data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            payload = json.load(r)
+        png = base64.b64decode(payload["image_png_b64"])
+        img = np.asarray(Image.open(io.BytesIO(png)))
+        assert img.shape == (16, 16, 3)
+
+        # edit-only server: /v1/generate is 404, missing image is 400
+        gen = urllib.request.Request(
+            f"{base}/v1/generate", data=json.dumps({"prompt": "x"}).encode(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(gen, timeout=30)
+        assert err.value.code == 404
+        bad = urllib.request.Request(
+            f"{base}/v1/edit",
+            data=json.dumps({"instruction": "x"}).encode(), method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(bad, timeout=30)
+        assert err.value.code == 400
+
+        with urllib.request.urlopen(f"{base}/v1/stats", timeout=30) as r:
+            stats = json.load(r)
+        assert stats["completed"] >= 1
+    finally:
+        server.shutdown()
