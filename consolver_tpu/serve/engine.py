@@ -107,6 +107,26 @@ class EngineShutDown(RuntimeError):
     pass
 
 
+def _mesh_replicate(pipeline, mesh, param_attrs: Tuple[str, ...]):
+    """Shallow-copy ``pipeline`` with its param trees replicated over
+    ``mesh``.  With replicated params and batch-sharded inputs the jitted
+    denoise programs partition over the mesh's data axis — pure data
+    parallelism, XLA inserts no collectives (SURVEY.md §2.7's "parallel
+    multi-GPU inference", as ONE SPMD program instead of the reference's
+    thread pool, gen_ppo.py:446-462)."""
+    import copy
+
+    from consolver_tpu.dist.mesh import replicate
+
+    p2 = copy.copy(pipeline)
+    for attr in param_attrs:
+        val = getattr(pipeline, attr)
+        if val is not None:
+            setattr(p2, attr, replicate(mesh, val))
+    p2._denoise_cache = {}  # programs re-lower for the sharded inputs
+    return p2
+
+
 class _BatchingEngine:
     """Resident worker thread that coalesces requests into padded batches.
 
@@ -279,6 +299,12 @@ class InferenceEngine(_BatchingEngine):
     latent_size : int
         Latent H = W; images come out at ``2**(vae levels - 1) *
         latent_size`` square (8x for SD-1.5's 4-level VAE).
+    mesh : jax.sharding.Mesh, optional
+        Multi-chip serving: batches shard over the mesh's data axis as one
+        SPMD program (params replicated).  ``batch_size`` stays the GLOBAL
+        compiled batch and must divide by the data-axis size; throughput
+        scales with the axis, per-request results are unchanged
+        (tests/test_serve.py pins sharded == unsharded).
     """
 
     def __init__(
@@ -289,7 +315,22 @@ class InferenceEngine(_BatchingEngine):
         max_length: Optional[int] = None,
         flush_ms: float = 30.0,
         max_queue: int = 256,
+        mesh=None,
     ):
+        self.mesh = mesh
+        if mesh is not None:
+            from consolver_tpu.dist.mesh import data_axis_size
+
+            shards = data_axis_size(mesh)
+            if int(batch_size) % shards:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the mesh's "
+                    f"data axis ({shards})"
+                )
+            pipeline = _mesh_replicate(
+                pipeline, mesh,
+                ("unet_params", "text_params", "vae_params", "factor_params"),
+            )
         self.pipeline = pipeline
         self.latent_size = int(latent_size)
         self.max_length = int(
@@ -324,9 +365,14 @@ class InferenceEngine(_BatchingEngine):
         )
         seeds = self._pad([int(r.seed) for r in requests])
         noise = self._noise_fn(jax.vmap(jax.random.key)(jnp.asarray(seeds)))
+        ids = jnp.asarray(ids)
+        if self.mesh is not None:
+            from consolver_tpu.dist.mesh import shard_batch
+
+            ids, noise = shard_batch(self.mesh, (ids, noise))
         images, _ = self.pipeline(
             jax.random.key(seeds[0]),
-            jnp.asarray(ids),
+            ids,
             noise,
             num_inference_steps=steps,
             guidance_scale=cfg_scale,
@@ -348,6 +394,11 @@ class EditInferenceEngine(_BatchingEngine):
 
     ``t5_tokenizer``/``clip_tokenizer``: optional real tokenizers
     (data.tokenizer.load_tokenizer); smoke mode hashes.
+    ``mesh``: multi-chip SPMD serving, same contract as
+    :class:`InferenceEngine` (global ``batch_size`` sharded over the data
+    axis, params replicated) — the bf16 11.9B Kontext needs >= 2 chips, so
+    a 2-D (data, model) mesh with `dist/tp.FLUX_TP_RULES` is the bf16
+    deployment; this knob covers the data axis.
     """
 
     def __init__(
@@ -361,7 +412,23 @@ class EditInferenceEngine(_BatchingEngine):
         clip_max_length: int = 77,
         flush_ms: float = 30.0,
         max_queue: int = 256,
+        mesh=None,
     ):
+        self.mesh = mesh
+        if mesh is not None:
+            from consolver_tpu.dist.mesh import data_axis_size
+
+            shards = data_axis_size(mesh)
+            if int(batch_size) % shards:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the mesh's "
+                    f"data axis ({shards})"
+                )
+            pipeline = _mesh_replicate(
+                pipeline, mesh,
+                ("transformer_params", "t5_params", "clip_params",
+                 "vae_params", "factor_params"),
+            )
         self.pipeline = pipeline
         self.resolution = int(resolution)
         vae_factor = 2 ** (len(pipeline.vae.cfg.block_out_channels) - 1)
@@ -415,6 +482,12 @@ class EditInferenceEngine(_BatchingEngine):
         ))
         seeds = self._pad([int(r.seed) for r in requests])
         noise = self._noise_fn(jax.vmap(jax.random.key)(jnp.asarray(seeds)))
+        if self.mesh is not None:
+            from consolver_tpu.dist.mesh import shard_batch
+
+            t5_ids, clip_ids, ref, noise = shard_batch(
+                self.mesh, (t5_ids, clip_ids, ref, noise)
+            )
         images, _ = self.pipeline(
             jax.random.key(seeds[0]),
             t5_ids,

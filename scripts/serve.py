@@ -44,6 +44,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 
+def _serving_mesh(args):
+    """--shard: one SPMD program over a 1-D data mesh of all visible
+    devices; --batch-size then means PER-CHIP batch (global = per-chip x
+    devices)."""
+    if not args.shard:
+        return None
+    from consolver_tpu.dist.mesh import make_mesh
+
+    return make_mesh()
+
+
 def build_t2i_engine(args):
     from consolver_tpu.configs.config import ExperimentConfig, apply_overrides
     from consolver_tpu.policy import FactorNet
@@ -67,10 +78,15 @@ def build_t2i_engine(args):
         pipe = pipe.quantize()
 
     latent = args.latent_size or (64 if args.pretrained else 8)
-    batch = args.batch_size if args.batch_size is not None else 8
+    mesh = _serving_mesh(args)
+    per_chip = args.batch_size if args.batch_size is not None else 8
+    batch = per_chip * (mesh.devices.size if mesh is not None else 1)
     return InferenceEngine(
         pipe, batch_size=batch, latent_size=latent, flush_ms=args.flush_ms,
-    ), f"generate batch={batch} latent={latent}"
+        mesh=mesh,
+    ), f"generate batch={batch} latent={latent}" + (
+        f" mesh={mesh.devices.size}x" if mesh is not None else ""
+    )
 
 
 def build_edit_engine(args):
@@ -108,14 +124,19 @@ def build_edit_engine(args):
         kind="clip", max_length=77,
     )
     resolution = args.resolution or (1024 if args.pretrained else 16)
-    batch = args.batch_size if args.batch_size is not None else 1
+    mesh = _serving_mesh(args)
+    per_chip = args.batch_size if args.batch_size is not None else 1
+    batch = per_chip * (mesh.devices.size if mesh is not None else 1)
     return EditInferenceEngine(
         pipe, resolution=resolution, batch_size=batch,
         t5_tokenizer=t5_tok, clip_tokenizer=clip_tok,
         t5_max_length=args.t5_max_length,
         clip_max_length=4 if not args.pretrained else 77,
         flush_ms=args.flush_ms,
-    ), f"edit batch={batch} resolution={resolution}"
+        mesh=mesh,
+    ), f"edit batch={batch} resolution={resolution}" + (
+        f" mesh={mesh.devices.size}x" if mesh is not None else ""
+    )
 
 
 def main():
@@ -130,7 +151,12 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--batch-size", type=int, default=None,
-                    help="compiled batch dim (default: 8 sd, 1 edit)")
+                    help="compiled batch dim (default: 8 sd, 1 edit); "
+                         "PER CHIP when --shard is set")
+    ap.add_argument("--shard", action="store_true",
+                    help="serve one SPMD program over a data mesh of all "
+                         "visible chips (params replicated, batch sharded); "
+                         "throughput scales with the mesh")
     ap.add_argument("--latent-size", type=int, default=None,
                     help="[sd] latent H=W (default: 64 with --pretrained, 8 smoke)")
     ap.add_argument("--resolution", type=int, default=None,

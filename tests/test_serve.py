@@ -183,6 +183,43 @@ def test_shutdown_fails_queued_requests(pipeline):
         eng.submit(_req(1))
 
 
+# ------------------------------------------------------------------ mesh
+# --shard serving: one SPMD program over a data mesh, params replicated,
+# batch sharded.  Per-request results must match the unsharded engine.
+
+
+def test_mesh_sharded_engine_matches_unsharded(pipeline):
+    from consolver_tpu.dist.mesh import make_mesh
+
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    eng = InferenceEngine(
+        pipeline, batch_size=8, latent_size=LATENT, mesh=mesh, flush_ms=200.0
+    )
+    try:
+        futs = [eng.submit(_req(i)) for i in range(8)]
+        sharded = [f.result(timeout=300) for f in futs]
+        assert eng.stats()["batches"] == 1  # coalesced into ONE sharded batch
+        # partial batch pads to the global batch and still shards
+        part = eng.generate(_req(0), timeout=300)
+    finally:
+        eng.shutdown()
+    with InferenceEngine(
+        pipeline, batch_size=BATCH, latent_size=LATENT
+    ) as single:
+        solo = single.generate(_req(3), timeout=300)
+    np.testing.assert_array_equal(sharded[3], solo)
+    np.testing.assert_array_equal(part, sharded[0])
+    assert any(not np.array_equal(sharded[0], s) for s in sharded[1:])
+
+
+def test_mesh_batch_size_must_divide(pipeline):
+    from consolver_tpu.dist.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="divide"):
+        InferenceEngine(pipeline, batch_size=3, latent_size=LATENT,
+                        mesh=make_mesh())
+
+
 # ---------------------------------------------------------------- policy
 # With a learnable policy attached, SAMPLED actions come from one
 # batch-shared key (a request's actions depend on its batch slot);
@@ -252,12 +289,18 @@ def test_mode_action_matches_argmax(policy_pipeline):
 
 
 @pytest.fixture(scope="module")
-def edit_engine():
-    from consolver_tpu.serve import EditInferenceEngine
+def edit_pipe():
     from test_edit import make_tiny_flux_pipeline
 
+    return make_tiny_flux_pipeline()
+
+
+@pytest.fixture(scope="module")
+def edit_engine(edit_pipe):
+    from consolver_tpu.serve import EditInferenceEngine
+
     eng = EditInferenceEngine(
-        make_tiny_flux_pipeline(),
+        edit_pipe,
         resolution=16,  # tiny 2-level VAE (stride 2) x 2x2 packing
         batch_size=2,
         t5_max_length=4,
@@ -290,6 +333,27 @@ def test_edit_deterministic_slot_independent(edit_engine):
     packed = [f.result(timeout=300) for f in futs]
     np.testing.assert_array_equal(solo, packed[1])
     assert not np.array_equal(packed[0], packed[1])
+
+
+def test_edit_mesh_sharded_matches_unsharded(edit_pipe, edit_engine):
+    from consolver_tpu.dist.mesh import make_mesh
+    from consolver_tpu.serve import EditInferenceEngine
+
+    # the fixture pipeline carries a sampling policy, whose actions are
+    # batch-slot dependent by design — mode actions isolate the mesh check
+    solo = edit_engine.generate(_edit_req(4, deterministic=True), timeout=300)
+    eng = EditInferenceEngine(
+        edit_pipe, resolution=16, batch_size=8, t5_max_length=4,
+        clip_max_length=4, flush_ms=200.0, mesh=make_mesh(),
+    )
+    try:
+        futs = [eng.submit(_edit_req(i, deterministic=True))
+                for i in range(3, 9)]
+        sharded = [f.result(timeout=300) for f in futs]
+        assert eng.stats()["batches"] == 1
+    finally:
+        eng.shutdown()
+    np.testing.assert_array_equal(sharded[1], solo)
 
 
 def test_edit_http_roundtrip(edit_engine):
