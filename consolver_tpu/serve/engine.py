@@ -107,21 +107,34 @@ class EngineShutDown(RuntimeError):
     pass
 
 
-def _mesh_replicate(pipeline, mesh, param_attrs: Tuple[str, ...]):
-    """Shallow-copy ``pipeline`` with its param trees replicated over
-    ``mesh``.  With replicated params and batch-sharded inputs the jitted
+def _mesh_replicate(pipeline, mesh, param_attrs: Tuple[str, ...],
+                    tp_attr: Optional[str] = None, tp_rules=None):
+    """Shallow-copy ``pipeline`` with its param trees placed on ``mesh``.
+
+    All ``param_attrs`` replicate; with batch-sharded inputs the jitted
     denoise programs partition over the mesh's data axis — pure data
     parallelism, XLA inserts no collectives (SURVEY.md §2.7's "parallel
     multi-GPU inference", as ONE SPMD program instead of the reference's
-    thread pool, gen_ppo.py:446-462)."""
+    thread pool, gen_ppo.py:446-462).  If the mesh also has a >1 "model"
+    axis, the denoiser's params (``tp_attr``) tensor-shard by ``tp_rules``
+    (Megatron cuts, dist/tp.py) — how a bf16 11.9B Kontext that overflows
+    one chip's HBM serves across a slice."""
     import copy
 
-    from consolver_tpu.dist.mesh import replicate
+    from consolver_tpu.dist.mesh import MODEL_AXIS, replicate
 
     p2 = copy.copy(pipeline)
+    tp = (tp_attr is not None
+          and int(mesh.shape.get(MODEL_AXIS, 1)) > 1)
     for attr in param_attrs:
         val = getattr(pipeline, attr)
-        if val is not None:
+        if val is None:
+            continue
+        if tp and attr == tp_attr:
+            from consolver_tpu.dist.tp import shard_params_by_rules
+
+            setattr(p2, attr, shard_params_by_rules(mesh, val, tp_rules))
+        else:
             setattr(p2, attr, replicate(mesh, val))
     p2._denoise_cache = {}  # programs re-lower for the sharded inputs
     return p2
@@ -327,9 +340,12 @@ class InferenceEngine(_BatchingEngine):
                     f"batch_size {batch_size} must divide by the mesh's "
                     f"data axis ({shards})"
                 )
+            from consolver_tpu.dist.tp import UNET_TP_RULES
+
             pipeline = _mesh_replicate(
                 pipeline, mesh,
                 ("unet_params", "text_params", "vae_params", "factor_params"),
+                tp_attr="unet_params", tp_rules=UNET_TP_RULES,
             )
         self.pipeline = pipeline
         self.latent_size = int(latent_size)
@@ -396,9 +412,9 @@ class EditInferenceEngine(_BatchingEngine):
     (data.tokenizer.load_tokenizer); smoke mode hashes.
     ``mesh``: multi-chip SPMD serving, same contract as
     :class:`InferenceEngine` (global ``batch_size`` sharded over the data
-    axis, params replicated) — the bf16 11.9B Kontext needs >= 2 chips, so
-    a 2-D (data, model) mesh with `dist/tp.FLUX_TP_RULES` is the bf16
-    deployment; this knob covers the data axis.
+    axis).  On a 2-D (data, model) mesh the DiT tensor-shards by
+    `dist/tp.FLUX_TP_RULES` — the bf16 deployment for the 11.9B Kontext,
+    which overflows one 16 GB chip (23.8 GB bf16; int8 fits one chip).
     """
 
     def __init__(
@@ -424,10 +440,13 @@ class EditInferenceEngine(_BatchingEngine):
                     f"batch_size {batch_size} must divide by the mesh's "
                     f"data axis ({shards})"
                 )
+            from consolver_tpu.dist.tp import FLUX_TP_RULES
+
             pipeline = _mesh_replicate(
                 pipeline, mesh,
                 ("transformer_params", "t5_params", "clip_params",
                  "vae_params", "factor_params"),
+                tp_attr="transformer_params", tp_rules=FLUX_TP_RULES,
             )
         self.pipeline = pipeline
         self.resolution = int(resolution)

@@ -45,14 +45,32 @@ import jax
 
 
 def _serving_mesh(args):
-    """--shard: one SPMD program over a 1-D data mesh of all visible
-    devices; --batch-size then means PER-CHIP batch (global = per-chip x
-    devices)."""
-    if not args.shard:
-        return None
-    from consolver_tpu.dist.mesh import make_mesh
+    """--shard / --tp: one SPMD program over a mesh of all visible devices.
 
+    --shard alone = 1-D data mesh (batch sharded, params replicated);
+    --tp N adds a model axis of size N (denoiser tensor-shards by the
+    dist/tp Megatron rules — the bf16 >=2-chip FLUX deployment).
+    --batch-size then means PER-DATA-SHARD batch."""
+    tp = getattr(args, "tp", 1) or 1
+    if not (args.shard or tp > 1):
+        return None
+    from consolver_tpu.dist.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+
+    ndev = jax.device_count()
+    if ndev % tp:
+        raise SystemExit(f"--tp {tp} must divide device count {ndev}")
+    if tp > 1:
+        return make_mesh(axis_shape=(ndev // tp, tp),
+                         axis_names=(DATA_AXIS, MODEL_AXIS))
     return make_mesh()
+
+
+def _data_shards(mesh) -> int:
+    if mesh is None:
+        return 1
+    from consolver_tpu.dist.mesh import data_axis_size
+
+    return data_axis_size(mesh)
 
 
 def build_t2i_engine(args):
@@ -79,13 +97,13 @@ def build_t2i_engine(args):
 
     latent = args.latent_size or (64 if args.pretrained else 8)
     mesh = _serving_mesh(args)
-    per_chip = args.batch_size if args.batch_size is not None else 8
-    batch = per_chip * (mesh.devices.size if mesh is not None else 1)
+    per_shard = args.batch_size if args.batch_size is not None else 8
+    batch = per_shard * _data_shards(mesh)
     return InferenceEngine(
         pipe, batch_size=batch, latent_size=latent, flush_ms=args.flush_ms,
         mesh=mesh,
     ), f"generate batch={batch} latent={latent}" + (
-        f" mesh={mesh.devices.size}x" if mesh is not None else ""
+        f" mesh={dict(mesh.shape)}" if mesh is not None else ""
     )
 
 
@@ -125,8 +143,8 @@ def build_edit_engine(args):
     )
     resolution = args.resolution or (1024 if args.pretrained else 16)
     mesh = _serving_mesh(args)
-    per_chip = args.batch_size if args.batch_size is not None else 1
-    batch = per_chip * (mesh.devices.size if mesh is not None else 1)
+    per_shard = args.batch_size if args.batch_size is not None else 1
+    batch = per_shard * _data_shards(mesh)
     return EditInferenceEngine(
         pipe, resolution=resolution, batch_size=batch,
         t5_tokenizer=t5_tok, clip_tokenizer=clip_tok,
@@ -135,7 +153,7 @@ def build_edit_engine(args):
         flush_ms=args.flush_ms,
         mesh=mesh,
     ), f"edit batch={batch} resolution={resolution}" + (
-        f" mesh={mesh.devices.size}x" if mesh is not None else ""
+        f" mesh={dict(mesh.shape)}" if mesh is not None else ""
     )
 
 
@@ -157,6 +175,11 @@ def main():
                     help="serve one SPMD program over a data mesh of all "
                          "visible chips (params replicated, batch sharded); "
                          "throughput scales with the mesh")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="model-axis size: tensor-shard the denoiser over "
+                         "this many chips (dist/tp Megatron rules); the "
+                         "remaining chips form the data axis.  The bf16 "
+                         "11.9B Kontext deployment is --family edit --tp 2")
     ap.add_argument("--latent-size", type=int, default=None,
                     help="[sd] latent H=W (default: 64 with --pretrained, 8 smoke)")
     ap.add_argument("--resolution", type=int, default=None,

@@ -356,6 +356,32 @@ def test_edit_mesh_sharded_matches_unsharded(edit_pipe, edit_engine):
     np.testing.assert_array_equal(sharded[1], solo)
 
 
+def test_edit_tp_mesh_serving(edit_pipe, edit_engine):
+    """2-D (data=4, model=2) mesh: the DiT tensor-shards by FLUX_TP_RULES
+    while the batch shards over data.  TP all-reduces reorder partial sums,
+    so compare within one uint8 quantization step of the unsharded image."""
+    from consolver_tpu.dist import mesh as meshlib
+    from consolver_tpu.serve import EditInferenceEngine
+
+    solo = edit_engine.generate(_edit_req(7, deterministic=True), timeout=300)
+    mesh = meshlib.make_mesh(
+        axis_shape=(4, 2), axis_names=(meshlib.DATA_AXIS, meshlib.MODEL_AXIS)
+    )
+    eng = EditInferenceEngine(
+        edit_pipe, resolution=16, batch_size=4, t5_max_length=4,
+        clip_max_length=4, flush_ms=50.0, mesh=mesh,
+    )
+    try:
+        # the DiT params really live sharded over the model axis
+        leaves = jax.tree.leaves(eng.pipeline.transformer_params)
+        assert any(len(l.sharding.device_set) == 8 for l in leaves)
+        img = eng.generate(_edit_req(7, deterministic=True), timeout=300)
+    finally:
+        eng.shutdown()
+    diff = np.abs(img.astype(np.int32) - solo.astype(np.int32))
+    assert diff.max() <= 1, f"TP image deviates: max abs diff {diff.max()}"
+
+
 def test_edit_http_roundtrip(edit_engine):
     from PIL import Image
 
