@@ -216,6 +216,7 @@ def make_padded_denoise_fn(
     max_steps: int,
     guidance_scale: float = 3.0,
     record_trajectory: bool = True,
+    deterministic_policy: bool = False,
 ) -> Callable[..., Tuple[jax.Array, Optional[Trajectory]]]:
     """Pad-to-max variant of :func:`make_denoise_fn` (SURVEY §7 "Hard parts"
     bullet 1): ONE compiled program serves every inference-step count in
@@ -279,7 +280,12 @@ def make_padded_denoise_fn(
             if factor_net is not None:
                 k, sub = jax.random.split(k)
                 conds = {"x": conds_x, "epsilon": st.ets}
-                actions, probs = factor_net.sample_action(factor_params, sub, conds)
+                if deterministic_policy:
+                    actions, probs = factor_net.mode_action(factor_params, conds)
+                else:
+                    actions, probs = factor_net.sample_action(
+                        factor_params, sub, conds
+                    )
             else:
                 actions = jnp.zeros((batch, action_dims), jnp.float32)
                 probs = jnp.ones((batch, action_dims), jnp.float32)
@@ -513,14 +519,17 @@ class TextToImagePipeline:
         max_steps: int,
         guidance_scale: float,
         record: bool = True,
+        deterministic_policy: bool = False,
     ):
         """One compiled rollout for every step count in [1, max_steps]
         (make_padded_denoise_fn); call with a :func:`padded_ladder`."""
-        key = ("padded", max_steps, float(guidance_scale), record)
+        key = ("padded", max_steps, float(guidance_scale), record,
+               deterministic_policy)
         if key not in self._denoise_cache:
             self._denoise_cache[key] = make_padded_denoise_fn(
                 self._unet_apply, self.schedule, self.factor_net, max_steps,
                 guidance_scale, record_trajectory=record,
+                deterministic_policy=deterministic_policy,
             )
         return self._denoise_cache[key]
 
@@ -535,18 +544,46 @@ class TextToImagePipeline:
         decode: bool = True,
         solver: str = "consistencysolver",
         deterministic_policy: bool = False,
+        padded_max_steps: Optional[int] = None,
     ):
-        """Returns (images or final latents, trajectory)."""
+        """Returns (images or final latents, trajectory).
+
+        ``padded_max_steps`` routes through the pad-to-max program
+        (make_padded_denoise_fn): ONE compile serves every
+        ``num_inference_steps`` in [1, padded_max_steps] — the serving-side
+        answer to the reference's per-count programs when step counts vary
+        (each call still pays max_steps UNet forwards).  Learnable solver
+        only; results equal the per-count program on valid steps."""
         if uncond_ids is None:
             uncond_ids = self.uncond_ids_for(prompt_ids)
         context, uncond_context = self._encode(self.text_params, prompt_ids, uncond_ids)
-        denoise = self.denoise_fn(
-            num_inference_steps, guidance_scale, solver=solver,
-            deterministic_policy=deterministic_policy,
-        )
-        latents, traj = denoise(
-            self.unet_params, self.factor_params, key, noise, context, uncond_context
-        )
+        if padded_max_steps is not None:
+            if solver != "consistencysolver":
+                raise ValueError(
+                    "padded_max_steps supports only the learnable "
+                    "consistencysolver program"
+                )
+            denoise = self.padded_denoise_fn(
+                padded_max_steps, guidance_scale,
+                deterministic_policy=deterministic_policy,
+            )
+            ladder = padded_ladder(
+                self.schedule, num_inference_steps, padded_max_steps,
+                self.timestep_spacing, self.steps_offset,
+            )
+            latents, traj = denoise(
+                self.unet_params, self.factor_params, key, noise, context,
+                uncond_context, *ladder,
+            )
+        else:
+            denoise = self.denoise_fn(
+                num_inference_steps, guidance_scale, solver=solver,
+                deterministic_policy=deterministic_policy,
+            )
+            latents, traj = denoise(
+                self.unet_params, self.factor_params, key, noise, context,
+                uncond_context,
+            )
         if not decode:
             return latents, traj
         from consolver_tpu.models.vae import decode_latents

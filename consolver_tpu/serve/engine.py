@@ -318,6 +318,15 @@ class InferenceEngine(_BatchingEngine):
         compiled batch and must divide by the data-axis size; throughput
         scales with the axis, per-request results are unchanged
         (tests/test_serve.py pins sharded == unsharded).
+    padded_max_steps : int, optional
+        Serve every ``num_inference_steps`` in [1, padded_max_steps] from
+        ONE compiled pad-to-max program (per (cfg, deterministic)
+        signature) instead of one program per step count — kills the
+        1-3 min first-request compile for unseen step counts, at the cost
+        of max_steps UNet forwards per batch.  Applies to the learnable
+        ``consistencysolver`` only; zoo-solver requests keep per-count
+        programs.  Requests with different step counts still never share
+        a batch (the step ladder is per-batch data).
     """
 
     def __init__(
@@ -329,7 +338,9 @@ class InferenceEngine(_BatchingEngine):
         flush_ms: float = 30.0,
         max_queue: int = 256,
         mesh=None,
+        padded_max_steps: Optional[int] = None,
     ):
+        self.padded_max_steps = padded_max_steps
         self.mesh = mesh
         if mesh is not None:
             from consolver_tpu.dist.mesh import data_axis_size
@@ -386,6 +397,13 @@ class InferenceEngine(_BatchingEngine):
             from consolver_tpu.dist.mesh import shard_batch
 
             ids, noise = shard_batch(self.mesh, (ids, noise))
+        padded = (
+            self.padded_max_steps
+            if solver == "consistencysolver"
+            and self.padded_max_steps is not None
+            and steps <= self.padded_max_steps
+            else None
+        )
         images, _ = self.pipeline(
             jax.random.key(seeds[0]),
             ids,
@@ -394,6 +412,7 @@ class InferenceEngine(_BatchingEngine):
             guidance_scale=cfg_scale,
             solver=solver,
             deterministic_policy=deterministic,
+            padded_max_steps=padded,
         )
         return self._to_uint8(images, n)
 

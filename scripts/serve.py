@@ -101,7 +101,7 @@ def build_t2i_engine(args):
     batch = per_shard * _data_shards(mesh)
     return InferenceEngine(
         pipe, batch_size=batch, latent_size=latent, flush_ms=args.flush_ms,
-        mesh=mesh,
+        mesh=mesh, padded_max_steps=args.padded_max_steps,
     ), f"generate batch={batch} latent={latent}" + (
         f" mesh={dict(mesh.shape)}" if mesh is not None else ""
     )
@@ -186,6 +186,10 @@ def main():
                     help="[edit] pinned image H=W (default: 1024 with "
                          "--pretrained, 16 smoke)")
     ap.add_argument("--t5-max-length", type=int, default=128)
+    ap.add_argument("--padded-max-steps", type=int, default=None,
+                    help="[sd] serve ANY step count in [1, N] from one "
+                         "pad-to-max compiled program (consistencysolver "
+                         "requests; each batch then costs N UNet forwards)")
     ap.add_argument("--prewarm", nargs="*", type=int, metavar="STEPS",
                     default=None,
                     help="compile the serving program(s) BEFORE binding the "

@@ -183,6 +183,37 @@ def test_shutdown_fails_queued_requests(pipeline):
         eng.submit(_req(1))
 
 
+def test_padded_serving_one_program_many_step_counts(pipeline):
+    """padded_max_steps: requests with different step counts share ONE
+    compiled pad-to-max program, and each result equals the per-count
+    program's (valid-prefix equivalence, tests/test_pipeline.py)."""
+    eng = InferenceEngine(
+        pipeline, batch_size=BATCH, latent_size=LATENT, flush_ms=50.0,
+        padded_max_steps=4,
+    )
+    try:
+        img2 = eng.generate(_req(0, num_inference_steps=2), timeout=300)
+        img3 = eng.generate(_req(0, num_inference_steps=3), timeout=300)
+        padded_keys = [
+            k for k in eng.pipeline._denoise_cache if k[0] == "padded"
+        ]
+        assert len(padded_keys) == 1  # one program served both counts
+        assert not np.array_equal(img2, img3)
+    finally:
+        eng.shutdown()
+    with InferenceEngine(
+        pipeline, batch_size=BATCH, latent_size=LATENT, flush_ms=50.0
+    ) as per_count:
+        np.testing.assert_array_equal(
+            img2, per_count.generate(_req(0, num_inference_steps=2),
+                                     timeout=300)
+        )
+        np.testing.assert_array_equal(
+            img3, per_count.generate(_req(0, num_inference_steps=3),
+                                     timeout=300)
+        )
+
+
 # ------------------------------------------------------------------ mesh
 # --shard serving: one SPMD program over a data mesh, params replicated,
 # batch sharded.  Per-request results must match the unsharded engine.
