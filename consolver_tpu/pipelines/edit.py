@@ -182,6 +182,8 @@ class FluxKontextPipeline:
         length (edit_ppo/denoise_diffusion.py:75-84).
         ``deterministic_policy`` = mode actions (serving; see
         fm.make_fm_denoise_fn)."""
+        if solver != "fmppo":
+            deterministic_policy = False  # no policy: don't fork programs
         seq_len = (lh // 2) * (lw // 2)
         key = (lh, lw, seq_txt, num_inference_steps, guidance_scale, solver,
                record, true_cfg_scale, deterministic_policy)
@@ -236,9 +238,11 @@ class FluxKontextPipeline:
         neg_clip_ids: Optional[jax.Array] = None,
         true_cfg_scale: float = 1.0,
         deterministic_policy: bool = False,
+        record: bool = True,
     ):
         """ref_image [B,H,W,3] in [-1,1]; noise [B,h,w,16] latent noise.
-        Returns (edited image or final latents, trajectory).
+        Returns (edited image or final latents, trajectory — None when
+        ``record=False``; serving skips the RL trajectory).
 
         Passing ``neg_t5_ids``/``neg_clip_ids`` with ``true_cfg_scale > 1``
         enables the negative-prompt true-CFG double forward
@@ -253,7 +257,7 @@ class FluxKontextPipeline:
         do_true_cfg = neg_t5_ids is not None and true_cfg_scale > 1.0
         denoise = self.denoise_fn(
             lh, lw, int(t5_ids.shape[1]), num_inference_steps,
-            guidance_scale, solver,
+            guidance_scale, solver, record=record,
             true_cfg_scale=true_cfg_scale if do_true_cfg else None,
             deterministic_policy=deterministic_policy,
         )

@@ -476,6 +476,8 @@ class TextToImagePipeline:
         baseline zoo solver (pipelines/solver_zoo.SOLVERS).
         ``deterministic_policy`` = mode actions (serving; see
         make_denoise_fn)."""
+        if solver != "consistencysolver":
+            deterministic_policy = False  # no policy: don't fork programs
         key = (num_inference_steps, float(guidance_scale), record, solver,
                deterministic_policy)
         if key not in self._denoise_cache:
@@ -545,8 +547,11 @@ class TextToImagePipeline:
         solver: str = "consistencysolver",
         deterministic_policy: bool = False,
         padded_max_steps: Optional[int] = None,
+        record: bool = True,
     ):
-        """Returns (images or final latents, trajectory).
+        """Returns (images or final latents, trajectory — None when
+        ``record=False``, which skips materializing the per-step RL
+        trajectory; serving uses that).
 
         ``padded_max_steps`` routes through the pad-to-max program
         (make_padded_denoise_fn): ONE compile serves every
@@ -564,7 +569,7 @@ class TextToImagePipeline:
                     "consistencysolver program"
                 )
             denoise = self.padded_denoise_fn(
-                padded_max_steps, guidance_scale,
+                padded_max_steps, guidance_scale, record=record,
                 deterministic_policy=deterministic_policy,
             )
             ladder = padded_ladder(
@@ -578,7 +583,7 @@ class TextToImagePipeline:
         else:
             denoise = self.denoise_fn(
                 num_inference_steps, guidance_scale, solver=solver,
-                deterministic_policy=deterministic_policy,
+                record=record, deterministic_policy=deterministic_policy,
             )
             latents, traj = denoise(
                 self.unet_params, self.factor_params, key, noise, context,

@@ -49,6 +49,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# solvers with a policy whose actions the deterministic knob affects; for
+# zoo solvers the knob is a no-op and must not fork programs/batches
+LEARNABLE_SOLVERS = frozenset({"consistencysolver", "fmppo"})
+
+
 @dataclasses.dataclass(frozen=True)
 class GenerationRequest:
     """One text-to-image request.
@@ -72,7 +77,7 @@ class GenerationRequest:
             int(self.num_inference_steps),
             float(self.guidance_scale),
             str(self.solver),
-            bool(self.deterministic),
+            bool(self.deterministic) and self.solver in LEARNABLE_SOLVERS,
         )
 
 
@@ -99,7 +104,7 @@ class EditRequest:
             int(self.num_inference_steps),
             float(self.guidance_scale),
             str(self.solver),
-            bool(self.deterministic),
+            bool(self.deterministic) and self.solver in LEARNABLE_SOLVERS,
         )
 
 
@@ -201,10 +206,11 @@ class _BatchingEngine:
         (~1-3 min per signature).  Returns the number of distinct
         programs warmed.
         """
-        futs = {}
+        unique = {}
         for r in requests:
-            futs.setdefault(r.program_key, self.submit(r))
-        for fut in futs.values():
+            unique.setdefault(r.program_key, r)
+        futs = [self.submit(r) for r in unique.values()]
+        for fut in futs:
             fut.result(timeout)
         return len(futs)
 
@@ -290,6 +296,22 @@ class _BatchingEngine:
         raise NotImplementedError
 
     # ------------------------------------------------------------ helpers
+    @staticmethod
+    def _place_on_mesh(pipeline, mesh, batch_size: int,
+                       param_attrs: Tuple[str, ...],
+                       tp_attr: str, tp_rules):
+        """Shared mesh setup: divisibility guard + param placement."""
+        from consolver_tpu.dist.mesh import data_axis_size
+
+        shards = data_axis_size(mesh)
+        if int(batch_size) % shards:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by the mesh's "
+                f"data axis ({shards})"
+            )
+        return _mesh_replicate(pipeline, mesh, param_attrs,
+                               tp_attr=tp_attr, tp_rules=tp_rules)
+
     def _pad(self, items: list) -> list:
         return items + [items[-1]] * (self.batch_size - len(items))
 
@@ -343,20 +365,12 @@ class InferenceEngine(_BatchingEngine):
         self.padded_max_steps = padded_max_steps
         self.mesh = mesh
         if mesh is not None:
-            from consolver_tpu.dist.mesh import data_axis_size
-
-            shards = data_axis_size(mesh)
-            if int(batch_size) % shards:
-                raise ValueError(
-                    f"batch_size {batch_size} must divide by the mesh's "
-                    f"data axis ({shards})"
-                )
             from consolver_tpu.dist.tp import UNET_TP_RULES
 
-            pipeline = _mesh_replicate(
-                pipeline, mesh,
+            pipeline = self._place_on_mesh(
+                pipeline, mesh, batch_size,
                 ("unet_params", "text_params", "vae_params", "factor_params"),
-                tp_attr="unet_params", tp_rules=UNET_TP_RULES,
+                "unet_params", UNET_TP_RULES,
             )
         self.pipeline = pipeline
         self.latent_size = int(latent_size)
@@ -413,6 +427,7 @@ class InferenceEngine(_BatchingEngine):
             solver=solver,
             deterministic_policy=deterministic,
             padded_max_steps=padded,
+            record=False,  # serving discards the RL trajectory
         )
         return self._to_uint8(images, n)
 
@@ -451,21 +466,13 @@ class EditInferenceEngine(_BatchingEngine):
     ):
         self.mesh = mesh
         if mesh is not None:
-            from consolver_tpu.dist.mesh import data_axis_size
-
-            shards = data_axis_size(mesh)
-            if int(batch_size) % shards:
-                raise ValueError(
-                    f"batch_size {batch_size} must divide by the mesh's "
-                    f"data axis ({shards})"
-                )
             from consolver_tpu.dist.tp import FLUX_TP_RULES
 
-            pipeline = _mesh_replicate(
-                pipeline, mesh,
+            pipeline = self._place_on_mesh(
+                pipeline, mesh, batch_size,
                 ("transformer_params", "t5_params", "clip_params",
                  "vae_params", "factor_params"),
-                tp_attr="transformer_params", tp_rules=FLUX_TP_RULES,
+                "transformer_params", FLUX_TP_RULES,
             )
         self.pipeline = pipeline
         self.resolution = int(resolution)
@@ -536,5 +543,6 @@ class EditInferenceEngine(_BatchingEngine):
             guidance_scale=cfg_scale,
             solver=solver,
             deterministic_policy=deterministic,
+            record=False,  # serving discards the RL trajectory
         )
         return self._to_uint8(images, n)

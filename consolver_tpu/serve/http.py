@@ -38,12 +38,23 @@ from consolver_tpu.serve.engine import (
     InferenceEngine,
 )
 
+def _json_bool(value) -> bool:
+    """Strict JSON-boolean parse: bool("false") is True, so a permissive
+    cast would silently flip the determinism knob (and fork a fresh
+    compiled program) on a string-typed field."""
+    if not isinstance(value, bool):
+        raise ValueError(
+            f"'deterministic' must be a JSON boolean, got {value!r}"
+        )
+    return value
+
+
 _COMMON_FIELDS = {
     "seed": int,
     "num_inference_steps": int,
     "guidance_scale": float,
     "solver": str,
-    "deterministic": bool,
+    "deterministic": _json_bool,
 }
 _GENERATE_FIELDS = {"prompt": str, **_COMMON_FIELDS}
 _EDIT_FIELDS = {"instruction": str, **_COMMON_FIELDS}
@@ -134,7 +145,9 @@ class ServeHandler(BaseHTTPRequestHandler):
                     raise ValueError("missing required field 'image_png_b64'")
                 kwargs["image"] = _decode_image_b64(payload["image_png_b64"])
                 request = EditRequest(**kwargs)
-            except (ValueError, TypeError, base64.binascii.Error) as exc:
+            # OSError covers PIL.UnidentifiedImageError + truncated images
+            except (ValueError, TypeError, OSError,
+                    base64.binascii.Error) as exc:
                 self._reply(400, {"error": str(exc)})
                 return
         else:

@@ -47,10 +47,12 @@ import jax
 def _serving_mesh(args):
     """--shard / --tp: one SPMD program over a mesh of all visible devices.
 
-    --shard alone = 1-D data mesh (batch sharded, params replicated);
-    --tp N adds a model axis of size N (denoiser tensor-shards by the
-    dist/tp Megatron rules — the bf16 >=2-chip FLUX deployment).
-    --batch-size then means PER-DATA-SHARD batch."""
+    --shard alone = 1-D data mesh over all chips (batch sharded, params
+    replicated).  --tp N adds a model axis of size N (denoiser
+    tensor-shards by the dist/tp Megatron rules — the bf16 >=2-chip FLUX
+    deployment); WITHOUT --shard it uses exactly N chips (data axis 1),
+    WITH --shard the remaining chips form the data axis and --batch-size
+    means PER-DATA-SHARD batch."""
     tp = getattr(args, "tp", 1) or 1
     if not (args.shard or tp > 1):
         return None
@@ -60,7 +62,8 @@ def _serving_mesh(args):
     if ndev % tp:
         raise SystemExit(f"--tp {tp} must divide device count {ndev}")
     if tp > 1:
-        return make_mesh(axis_shape=(ndev // tp, tp),
+        dp = ndev // tp if args.shard else 1
+        return make_mesh(num_devices=dp * tp, axis_shape=(dp, tp),
                          axis_names=(DATA_AXIS, MODEL_AXIS))
     return make_mesh()
 

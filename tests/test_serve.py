@@ -64,8 +64,8 @@ def test_prewarm_compiles_one_program_per_signature(engine):
     )
     assert n == 2  # two distinct (steps, cfg, solver, det) signatures
     cache_keys = set(engine.pipeline._denoise_cache)
-    assert (2, 3.0, True, "consistencysolver", False) in cache_keys
-    assert (3, 3.0, True, "consistencysolver", False) in cache_keys
+    assert (2, 3.0, False, "consistencysolver", False) in cache_keys
+    assert (3, 3.0, False, "consistencysolver", False) in cache_keys
     before = engine.stats()["batches"]
     img = engine.generate(_req(5), timeout=300)
     assert img.shape == SHAPE
@@ -181,6 +181,22 @@ def test_shutdown_fails_queued_requests(pipeline):
     eng.shutdown()
     with pytest.raises(Exception):
         eng.submit(_req(1))
+
+
+def test_zoo_solver_deterministic_does_not_fork_programs():
+    """deterministic is a policy knob; zoo solvers have no policy, so it
+    must not split programs/batches (review fix)."""
+    a = GenerationRequest(prompt="x", solver="dpmsolver", deterministic=True)
+    b = GenerationRequest(prompt="x", solver="dpmsolver", deterministic=False)
+    assert a.program_key == b.program_key
+    c = GenerationRequest(prompt="x", deterministic=True)  # learnable
+    d = GenerationRequest(prompt="x", deterministic=False)
+    assert c.program_key != d.program_key
+    e = EditRequest(instruction="x", image=np.zeros((4, 4, 3), np.uint8),
+                    solver="euler", deterministic=True)
+    f = EditRequest(instruction="x", image=np.zeros((4, 4, 3), np.uint8),
+                    solver="euler")
+    assert e.program_key == f.program_key
 
 
 def test_padded_serving_one_program_many_step_counts(pipeline):
@@ -403,9 +419,10 @@ def test_edit_tp_mesh_serving(edit_pipe, edit_engine):
         clip_max_length=4, flush_ms=50.0, mesh=mesh,
     )
     try:
-        # the DiT params really live sharded over the model axis
+        # the DiT params really live TENSOR-sharded (replicated leaves also
+        # span all devices, so device_set size alone would be vacuous)
         leaves = jax.tree.leaves(eng.pipeline.transformer_params)
-        assert any(len(l.sharding.device_set) == 8 for l in leaves)
+        assert any(not l.sharding.is_fully_replicated for l in leaves)
         img = eng.generate(_edit_req(7, deterministic=True), timeout=300)
     finally:
         eng.shutdown()
@@ -454,6 +471,31 @@ def test_edit_http_roundtrip(edit_engine):
         )
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(bad, timeout=30)
+        assert err.value.code == 400
+
+        # valid base64 that is NOT an image -> 400, not a dropped socket
+        not_png = urllib.request.Request(
+            f"{base}/v1/edit",
+            data=json.dumps({
+                "instruction": "x",
+                "image_png_b64": base64.b64encode(b"not a png").decode(),
+            }).encode(), method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(not_png, timeout=30)
+        assert err.value.code == 400
+
+        # string-typed deterministic -> 400 (bool("false") would be True)
+        str_det = urllib.request.Request(
+            f"{base}/v1/edit",
+            data=json.dumps({
+                "instruction": "x",
+                "image_png_b64": base64.b64encode(buf.getvalue()).decode(),
+                "deterministic": "false",
+            }).encode(), method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(str_det, timeout=30)
         assert err.value.code == 400
 
         with urllib.request.urlopen(f"{base}/v1/stats", timeout=30) as r:
