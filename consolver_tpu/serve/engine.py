@@ -176,6 +176,10 @@ class _BatchingEngine:
             "batched_rows": 0,
             "padded_rows": 0,
         }
+        # ring buffers of the last 512 per-request queue waits and
+        # per-batch execute times (ms) -> p50/p95 in stats()
+        self._wait_ms: collections.deque = collections.deque(maxlen=512)
+        self._exec_ms: collections.deque = collections.deque(maxlen=512)
         self._stop = threading.Event()
         self._worker = threading.Thread(
             target=self._run, name="consolver-serve-worker", daemon=True
@@ -188,7 +192,8 @@ class _BatchingEngine:
         if self._stop.is_set():
             raise EngineShutDown("engine is shut down")
         fut: Future = Future()
-        self._queue.put((request, fut))  # blocks when max_queue deep
+        # blocks when max_queue deep
+        self._queue.put((request, fut, time.monotonic()))
         with self._lock:
             self._stats["requests"] += 1
         return fut
@@ -217,12 +222,18 @@ class _BatchingEngine:
     def stats(self) -> dict:
         with self._lock:
             s = dict(self._stats)
+            wait = sorted(self._wait_ms)
+            execs = sorted(self._exec_ms)
         s["mean_batch_occupancy"] = (
             s["batched_rows"] / (s["batches"] * self.batch_size)
             if s["batches"]
             else 0.0
         )
         s["batch_size"] = self.batch_size
+        for name, xs in (("queue_wait_ms", wait), ("execute_ms", execs)):
+            if xs:
+                s[f"{name}_p50"] = round(xs[len(xs) // 2], 1)
+                s[f"{name}_p95"] = round(xs[int(len(xs) * 0.95)], 1)
         return s
 
     def shutdown(self, timeout: float = 10.0) -> None:
@@ -236,9 +247,9 @@ class _BatchingEngine:
                 drained.append(self._queue.get_nowait())
             except queue.Empty:
                 break
-        for _, fut in drained:
-            if not fut.done():
-                fut.set_exception(EngineShutDown("engine shut down"))
+        for item in drained:
+            if not item[1].done():
+                item[1].set_exception(EngineShutDown("engine shut down"))
 
     def __enter__(self):
         return self
@@ -275,21 +286,25 @@ class _BatchingEngine:
             self._serve_batch(batch)
 
     def _serve_batch(self, batch) -> None:
+        t0 = time.monotonic()
         try:
-            images = self._execute([r for r, _ in batch])
+            images = self._execute([item[0] for item in batch])
         except Exception as exc:  # surface to every caller in the batch
             with self._lock:
                 self._stats["errors"] += len(batch)
                 self._stats["batches"] += 1
-            for _, fut in batch:
-                fut.set_exception(exc)
+            for item in batch:
+                item[1].set_exception(exc)
             return
+        t1 = time.monotonic()
         with self._lock:
             self._stats["batches"] += 1
             self._stats["batched_rows"] += len(batch)
             self._stats["padded_rows"] += self.batch_size - len(batch)
             self._stats["completed"] += len(batch)
-        for (_, fut), img in zip(batch, images):
+            self._exec_ms.append((t1 - t0) * 1e3)
+            self._wait_ms.extend((t0 - item[2]) * 1e3 for item in batch)
+        for (_, fut, _), img in zip(batch, images):
             fut.set_result(img)
 
     def _execute(self, requests) -> list:

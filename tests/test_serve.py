@@ -183,6 +183,14 @@ def test_shutdown_fails_queued_requests(pipeline):
         eng.submit(_req(1))
 
 
+def test_stats_latency_percentiles(engine):
+    engine.generate(_req(0), timeout=300)
+    engine.generate(_req(1), timeout=300)
+    s = engine.stats()
+    assert s["execute_ms_p50"] > 0 and s["execute_ms_p95"] >= s["execute_ms_p50"]
+    assert s["queue_wait_ms_p50"] >= 0
+
+
 def test_zoo_solver_deterministic_does_not_fork_programs():
     """deterministic is a policy knob; zoo solvers have no policy, so it
     must not split programs/batches (review fix)."""
