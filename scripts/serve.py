@@ -162,9 +162,14 @@ def build_edit_engine(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--family", choices=("sd", "edit"), default="sd",
+    ap.add_argument("--family", choices=("sd", "edit", "both"), default="sd",
                     help="sd = /v1/generate (SD-1.5 class); "
-                         "edit = /v1/edit (FLUX-Kontext)")
+                         "edit = /v1/edit (FLUX-Kontext); both = the two "
+                         "engines in one process (each owns its programs; "
+                         "--pretrained then points at the SD checkpoint and "
+                         "--edit-pretrained at the FLUX one)")
+    ap.add_argument("--edit-pretrained", default=None,
+                    help="[both] FLUX checkpoint dir (smoke models if unset)")
     ap.add_argument("--pretrained", default=None)
     ap.add_argument("--factor-ckpt", default=None)
     ap.add_argument("--quantize", action="store_true",
@@ -210,10 +215,19 @@ def main():
 
     from consolver_tpu.serve import make_server
 
-    if args.family == "edit":
-        engine, desc = build_edit_engine(args)
-    else:
-        engine, desc = build_t2i_engine(args)
+    t2i_engine = edit_engine = None
+    descs = []
+    if args.family in ("sd", "both"):
+        t2i_engine, d = build_t2i_engine(args)
+        descs.append(d)
+    if args.family in ("edit", "both"):
+        edit_args = args
+        if args.family == "both":
+            edit_args = argparse.Namespace(
+                **{**vars(args), "pretrained": args.edit_pretrained}
+            )
+        edit_engine, d = build_edit_engine(edit_args)
+        descs.append(d)
 
     if args.prewarm is not None:
         import numpy as np
@@ -221,40 +235,43 @@ def main():
 
         from consolver_tpu.serve import EditRequest, GenerationRequest
 
-        if args.family == "edit":
-            gray = np.full((engine.resolution, engine.resolution, 3), 127,
-                           np.uint8)
-            reqs = [EditRequest(instruction="prewarm", image=gray)]
-            if args.prewarm:
-                reqs = [dataclasses.replace(r, num_inference_steps=s)
-                        for r in reqs for s in args.prewarm]
-        else:
-            reqs = [GenerationRequest(prompt="prewarm")]
-            if args.prewarm:
-                reqs = [dataclasses.replace(r, num_inference_steps=s)
-                        for r in reqs for s in args.prewarm]
+        reqs = []
+        if t2i_engine is not None:
+            reqs.append((t2i_engine, GenerationRequest(prompt="prewarm")))
+        if edit_engine is not None:
+            gray = np.full(
+                (edit_engine.resolution, edit_engine.resolution, 3), 127,
+                np.uint8,
+            )
+            reqs.append(
+                (edit_engine, EditRequest(instruction="prewarm", image=gray))
+            )
         t0 = _time.monotonic()
-        n = engine.prewarm(*reqs, timeout=args.request_timeout)
+        n = 0
+        for eng, req in reqs:
+            warm = [req]
+            if args.prewarm:
+                warm = [dataclasses.replace(req, num_inference_steps=s)
+                        for s in args.prewarm]
+            n += eng.prewarm(*warm, timeout=args.request_timeout)
         print(f"prewarmed {n} program(s) in "
               f"{_time.monotonic() - t0:.1f}s", flush=True)
 
-    if args.family == "edit":
-        server = make_server(edit_engine=engine, host=args.host,
-                             port=args.port,
-                             request_timeout=args.request_timeout)
-    else:
-        server = make_server(engine, host=args.host, port=args.port,
-                             request_timeout=args.request_timeout)
+    server = make_server(t2i_engine, host=args.host, port=args.port,
+                         request_timeout=args.request_timeout,
+                         edit_engine=edit_engine)
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port}  "
-          f"({desc}, devices={jax.device_count()})", flush=True)
+          f"({'; '.join(descs)}, devices={jax.device_count()})", flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         server.shutdown()
-        engine.shutdown()
+        for eng in (t2i_engine, edit_engine):
+            if eng is not None:
+                eng.shutdown()
 
 
 if __name__ == "__main__":
