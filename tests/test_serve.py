@@ -267,6 +267,25 @@ def test_mesh_sharded_engine_matches_unsharded(pipeline):
     assert any(not np.array_equal(sharded[0], s) for s in sharded[1:])
 
 
+def test_serving_mesh_cli_semantics():
+    """--tp without --shard uses exactly N chips (data axis 1: --batch-size
+    is NOT silently multiplied); with --shard the leftover chips form the
+    data axis (review fix)."""
+    import argparse
+
+    from scripts.serve import _data_shards, _serving_mesh
+
+    def ns(**kw):
+        return argparse.Namespace(**{"shard": False, "tp": 1, **kw})
+    assert _serving_mesh(ns()) is None
+    m = _serving_mesh(ns(tp=2))
+    assert dict(m.shape) == {"data": 1, "model": 2} and _data_shards(m) == 1
+    m = _serving_mesh(ns(shard=True, tp=2))
+    assert dict(m.shape) == {"data": 4, "model": 2} and _data_shards(m) == 4
+    m = _serving_mesh(ns(shard=True))
+    assert dict(m.shape) == {"data": 8} and _data_shards(m) == 8
+
+
 def test_mesh_batch_size_must_divide(pipeline):
     from consolver_tpu.dist.mesh import make_mesh
 
