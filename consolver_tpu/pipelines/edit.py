@@ -222,6 +222,57 @@ class FluxKontextPipeline:
         self._denoise_cache[key] = fn
         return fn
 
+    def padded_denoise_fn(
+        self,
+        lh: int,
+        lw: int,
+        seq_txt: int,
+        max_steps: int,
+        guidance_scale: float,
+        record: bool = True,
+        true_cfg_scale: Optional[float] = None,
+        deterministic_policy: bool = False,
+        use_policy: bool = True,
+    ):
+        """One compiled rollout for every step count in [1, max_steps] at
+        this latent resolution (fm.make_padded_fm_denoise_fn); call with a
+        :func:`fm.padded_fm_ladder` built with this resolution's mu.
+        ``use_policy=False`` drops the factor net — the degenerate order-1
+        program IS the Euler baseline (coeffs normalize to [1]), used for
+        the trainer's padded baseline rollout."""
+        seq_len = (lh // 2) * (lw // 2)
+        key = ("padded", lh, lw, seq_txt, max_steps, guidance_scale,
+               record, true_cfg_scale, deterministic_policy, use_policy)
+        if key not in self._denoise_cache:
+            img_ids = jnp.concatenate(
+                [
+                    flux_lib.latent_image_ids(lh, lw),
+                    flux_lib.latent_image_ids(lh, lw, offset=1.0),
+                ],
+                axis=0,
+            )
+            velocity = self._velocity_fn(
+                seq_len, img_ids, jnp.zeros((seq_txt, 3)), guidance_scale,
+                true_cfg_scale,
+            )
+            self._denoise_cache[key] = fm.make_padded_fm_denoise_fn(
+                velocity, self.fm_config,
+                self.factor_net if use_policy else None, max_steps,
+                record_trajectory=record,
+                deterministic_policy=deterministic_policy,
+            )
+        return self._denoise_cache[key]
+
+    def mu_for(self, lh: int, lw: int) -> float:
+        """Resolution-dependent FM shift (edit_ppo/pipeline.py:119-130)."""
+        return schedules.calculate_flux_mu(
+            (lh // 2) * (lw // 2),
+            self.fm_config.base_image_seq_len,
+            self.fm_config.max_image_seq_len,
+            self.fm_config.base_shift,
+            self.fm_config.max_shift,
+        )
+
     # ------------------------------------------------------------------
     def __call__(
         self,
@@ -239,10 +290,15 @@ class FluxKontextPipeline:
         true_cfg_scale: float = 1.0,
         deterministic_policy: bool = False,
         record: bool = True,
+        padded_max_steps: Optional[int] = None,
     ):
         """ref_image [B,H,W,3] in [-1,1]; noise [B,h,w,16] latent noise.
         Returns (edited image or final latents, trajectory — None when
         ``record=False``; serving skips the RL trajectory).
+
+        ``padded_max_steps`` routes through the pad-to-max program (ONE
+        compile serves every step count in [1, N]; fmppo only; results
+        equal the per-count program on valid steps).
 
         Passing ``neg_t5_ids``/``neg_clip_ids`` with ``true_cfg_scale > 1``
         enables the negative-prompt true-CFG double forward
@@ -255,12 +311,31 @@ class FluxKontextPipeline:
         packed_noise = flux_lib.pack_latents(noise)
 
         do_true_cfg = neg_t5_ids is not None and true_cfg_scale > 1.0
-        denoise = self.denoise_fn(
-            lh, lw, int(t5_ids.shape[1]), num_inference_steps,
-            guidance_scale, solver, record=record,
-            true_cfg_scale=true_cfg_scale if do_true_cfg else None,
-            deterministic_policy=deterministic_policy,
-        )
+        ladder = None
+        if padded_max_steps is not None:
+            if solver not in ("fmppo", "euler"):
+                raise ValueError(
+                    "padded_max_steps supports the learnable fmppo program "
+                    "and the degenerate euler baseline"
+                )
+            denoise = self.padded_denoise_fn(
+                lh, lw, int(t5_ids.shape[1]), padded_max_steps,
+                guidance_scale, record=record,
+                true_cfg_scale=true_cfg_scale if do_true_cfg else None,
+                deterministic_policy=deterministic_policy,
+                use_policy=(solver == "fmppo"),
+            )
+            ladder = fm.padded_fm_ladder(
+                self.fm_config, num_inference_steps, padded_max_steps,
+                mu=self.mu_for(lh, lw),
+            )
+        else:
+            denoise = self.denoise_fn(
+                lh, lw, int(t5_ids.shape[1]), num_inference_steps,
+                guidance_scale, solver, record=record,
+                true_cfg_scale=true_cfg_scale if do_true_cfg else None,
+                deterministic_policy=deterministic_policy,
+            )
         if do_true_cfg:
             if neg_clip_ids is None:
                 # T5 ids are NOT valid CLIP ids (different tokenizer/vocab/
@@ -275,9 +350,16 @@ class FluxKontextPipeline:
             cond = (prompt_embeds, pooled, neg_embeds, neg_pooled, ref_tokens)
         else:
             cond = (prompt_embeds, pooled, ref_tokens)
-        packed_out, traj = denoise(
-            self.transformer_params, self.factor_params, key, packed_noise, cond
-        )
+        if ladder is not None:
+            packed_out, traj = denoise(
+                self.transformer_params, self.factor_params, key,
+                packed_noise, cond, *ladder,
+            )
+        else:
+            packed_out, traj = denoise(
+                self.transformer_params, self.factor_params, key,
+                packed_noise, cond,
+            )
         latents = flux_lib.unpack_latents(packed_out, lh, lw)
         if not decode:
             return latents, traj

@@ -151,6 +151,144 @@ def make_fm_denoise_fn(
     return denoise
 
 
+def padded_fm_ladder(
+    fm_config: schedules.FlowMatchConfig,
+    num_inference_steps: int,
+    max_steps: int,
+    mu: Optional[float] = None,
+):
+    """Host-side ladder for :func:`make_padded_fm_denoise_fn`: the true
+    ``num_inference_steps`` FM sigma ladder front-loaded into [max_steps]
+    arrays with a validity mask (pad steps repeat the last entries and are
+    masked to passthrough).  FM twin of t2i.padded_ladder."""
+    assert 1 <= num_inference_steps <= max_steps
+    import numpy as np
+
+    sigmas, timesteps = schedules.fm_sigmas(
+        fm_config, num_inference_steps, mu=mu
+    )
+    sig_t = np.asarray(sigmas[:-1], np.float32)
+    sig_next = np.asarray(sigmas[1:], np.float32)
+    ts = np.asarray(timesteps, np.float32)
+    pad = max_steps - num_inference_steps
+    ts_p = np.concatenate([ts, np.repeat(ts[-1:], pad)])
+    st_p = np.concatenate([sig_t, np.repeat(sig_t[-1:], pad)])
+    sn_p = np.concatenate([sig_next, np.repeat(sig_next[-1:], pad)])
+    valid = np.concatenate([np.ones(num_inference_steps), np.zeros(pad)])
+    return (
+        jnp.asarray(ts_p),
+        jnp.asarray(st_p),
+        jnp.asarray(sn_p),
+        jnp.asarray(valid, jnp.float32),
+    )
+
+
+def make_padded_fm_denoise_fn(
+    velocity_fn: Callable[..., jax.Array],
+    fm_config: schedules.FlowMatchConfig,
+    factor_net: Optional[FactorNet],
+    max_steps: int,
+    record_trajectory: bool = True,
+    deterministic_policy: bool = False,
+):
+    """Pad-to-max variant of :func:`make_fm_denoise_fn`: ONE compiled
+    program serves every inference-step count in [1, max_steps] — the FM
+    twin of t2i.make_padded_denoise_fn (the reference's FLUX trainer
+    randomizes steps in [2, 6), edit_ppo/train_ppo.py:275, which costs one
+    ~10-min full-size remote compile per count; serving gets arbitrary
+    step counts from one program).  The (t, sigma_t, sigma_next, valid)
+    ladder is scan DATA (:func:`padded_fm_ladder`); pad steps run the
+    velocity model but revert latent + solver history (passthrough) and
+    zero their trajectory masks; ``Trajectory.valid`` carries the row
+    flags so the PPO loss excludes pad rows from surrogate AND entropy.
+
+    Returned fn: (model_params, factor_params, key, noise, cond,
+    ts[M], sig_t[M], sig_next[M], valid[M]) -> (latents, Trajectory)."""
+    if factor_net is None:
+        order_dim, scaler_dim, action_dims = 1, 0, 1
+    else:
+        order_dim = factor_net.config.order_dim
+        scaler_dim = factor_net.config.scaler_dim
+        action_dims = factor_net.config.action_dims
+    use_conv = factor_net is not None and factor_net.config.use_conv
+
+    @jax.jit
+    def denoise(model_params, factor_params, key, noise, cond,
+                ts, sig_t, sig_next, valid):
+        batch = noise.shape[0]
+        state = solver.init_state(batch, order_dim, noise.shape[1:])
+
+        def body(carry, xs):
+            st0, x0, k = carry
+            t, s_t, s_next, v_row = xs
+            v = velocity_fn(
+                model_params, x0, jnp.broadcast_to(t, (batch,)), cond
+            ).astype(jnp.float32)
+            x32 = x0.astype(jnp.float32)
+
+            conds_x = jnp.tile(jnp.stack([s_t, s_next])[None], (batch, 1))
+            st = solver.push(st0, v)
+            if factor_net is not None:
+                k, sub = jax.random.split(k)
+                conds = {"x": conds_x, "epsilon": st.ets}
+                if deterministic_policy:
+                    actions, probs = factor_net.mode_action(factor_params, conds)
+                else:
+                    actions, probs = factor_net.sample_action(
+                        factor_params, sub, conds
+                    )
+            else:
+                actions = jnp.zeros((batch, action_dims), jnp.float32)
+                probs = jnp.ones((batch, action_dims), jnp.float32)
+
+            order_a, scale_a, _ = solver.split_actions(
+                actions, order_dim, scaler_dim
+            )
+            coeffs = solver.normalized_coefficients(
+                order_a.astype(jnp.float32), st.num_ets, order_dim
+            )
+            eff = solver.combine(st, coeffs)
+            eff, x32 = solver.apply_scalers(eff, x32, scale_a.astype(jnp.float32))
+            masks = solver.warmup_masks(st.num_ets, order_dim, action_dims, batch)
+            masks = masks * v_row  # pad steps contribute no advantage
+
+            x_new = solver.fm_euler_update(x32, eff, s_next - s_t).astype(x0.dtype)
+            # passthrough on pad steps: latent and solver history unchanged
+            x_new = jnp.where(v_row > 0, x_new, x0)
+            st = jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(v_row > 0, (1,) * new.ndim), new, old
+                ),
+                st, st0,
+            )
+            valid_row = jnp.broadcast_to(v_row, (batch,))
+            record = (conds_x, actions, probs, masks, valid_row) + (
+                (st.ets,) if use_conv else ()
+            )
+            return (st, x_new, k), record
+
+        (_, x, _), records = jax.lax.scan(
+            body, (state, noise, key), (ts, sig_t, sig_next, valid)
+        )
+        if not record_trajectory:
+            return x, None
+
+        def to_traj(a):
+            return jnp.swapaxes(a[1:], 0, 1)
+
+        traj = Trajectory(
+            conds_x=to_traj(records[0]),
+            actions=to_traj(records[1]),
+            probs=to_traj(records[2]),
+            masks=to_traj(records[3]),
+            valid=to_traj(records[4]),
+            conds_eps=to_traj(records[5]) if use_conv else None,
+        )
+        return x, traj
+
+    return denoise
+
+
 class FmBaseline:
     """Training-free FM solver zoo (edit_ppo/scheduler_fm.py:405-484):
     euler, heun (2-stage over sigma pairs), dpm-solver (2-stage), and

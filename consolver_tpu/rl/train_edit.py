@@ -138,10 +138,17 @@ class EditPPOTrainer(CheckpointMixin):
                 base_in = meshlib.shard_batch(self.mesh, base_in)
             else:
                 base_in = meshlib.replicate(self.mesh, base_in)
+        # padded_rollout: ONE compiled program each for the policy and the
+        # Euler-baseline rollouts across every step count in
+        # [min, max_inference_steps) — each per-count compile of the
+        # full-size DiT costs ~10 min through the tunnel, x4 counts x2
+        # programs without padding (rl/train.TrainConfig.padded_rollout)
+        padded = (cfg.max_inference_steps - 1) if cfg.padded_rollout else None
         base_latents, _ = self.pipe(
             base_key, *base_in,
             num_inference_steps=num_inference,
             guidance_scale=cfg.guidance_scale, solver="euler", decode=False,
+            padded_max_steps=padded, record=False,
         )
 
         # --- policy rollout over the group batch ---
@@ -149,6 +156,7 @@ class EditPPOTrainer(CheckpointMixin):
             policy_key, t5_ids, clip_ids, ref_image, noise,
             num_inference_steps=num_inference,
             guidance_scale=cfg.guidance_scale, solver="fmppo", decode=False,
+            padded_max_steps=padded,
         )
 
         chunk = cfg.decode_chunk

@@ -478,7 +478,9 @@ class EditInferenceEngine(_BatchingEngine):
         flush_ms: float = 30.0,
         max_queue: int = 256,
         mesh=None,
+        padded_max_steps: Optional[int] = None,
     ):
+        self.padded_max_steps = padded_max_steps
         self.mesh = mesh
         if mesh is not None:
             from consolver_tpu.dist.tp import FLUX_TP_RULES
@@ -548,6 +550,13 @@ class EditInferenceEngine(_BatchingEngine):
             t5_ids, clip_ids, ref, noise = shard_batch(
                 self.mesh, (t5_ids, clip_ids, ref, noise)
             )
+        padded = (
+            self.padded_max_steps
+            if solver == "fmppo"
+            and self.padded_max_steps is not None
+            and steps <= self.padded_max_steps
+            else None
+        )
         images, _ = self.pipeline(
             jax.random.key(seeds[0]),
             t5_ids,
@@ -559,5 +568,6 @@ class EditInferenceEngine(_BatchingEngine):
             solver=solver,
             deterministic_policy=deterministic,
             record=False,  # serving discards the RL trajectory
+            padded_max_steps=padded,
         )
         return self._to_uint8(images, n)

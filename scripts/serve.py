@@ -154,7 +154,7 @@ def build_edit_engine(args):
         t5_max_length=args.t5_max_length,
         clip_max_length=4 if not args.pretrained else 77,
         flush_ms=args.flush_ms,
-        mesh=mesh,
+        mesh=mesh, padded_max_steps=args.padded_max_steps,
     ), f"edit batch={batch} resolution={resolution}" + (
         f" mesh={dict(mesh.shape)}" if mesh is not None else ""
     )
@@ -195,9 +195,10 @@ def main():
                          "--pretrained, 16 smoke)")
     ap.add_argument("--t5-max-length", type=int, default=128)
     ap.add_argument("--padded-max-steps", type=int, default=None,
-                    help="[sd] serve ANY step count in [1, N] from one "
-                         "pad-to-max compiled program (consistencysolver "
-                         "requests; each batch then costs N UNet forwards)")
+                    help="serve ANY step count in [1, N] from one "
+                         "pad-to-max compiled program (learnable-solver "
+                         "requests; each batch then costs N denoiser "
+                         "forwards)")
     ap.add_argument("--prewarm", nargs="*", type=int, metavar="STEPS",
                     default=None,
                     help="compile the serving program(s) BEFORE binding the "

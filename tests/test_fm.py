@@ -140,6 +140,54 @@ class TestFmPpo:
         assert bool(jnp.isfinite(out).all())
 
 
+class TestPaddedFm:
+    """make_padded_fm_denoise_fn: one compiled program for every step count
+    in [1, max_steps] — the FM twin of t2i's padded rollout."""
+
+    def test_padded_matches_per_count_on_valid_steps(self):
+        fnet = FactorNet(FactorNetConfig(
+            order_dim=2, scaler_dim=0, mu_dim=0, num_actions=11, family="fm"
+        ))
+        fparams = fnet.init(jax.random.key(0))
+
+        def vel(params, x, t, cond):
+            return -x * 0.3 + 0.01 * t[:, None]
+
+        noise = jax.random.normal(jax.random.key(1), (2, 8))
+        per_count = fm.make_fm_denoise_fn(vel, CFG, fnet, 3)
+        padded = fm.make_padded_fm_denoise_fn(vel, CFG, fnet, max_steps=5)
+        out_pc, traj_pc = per_count(None, fparams, jax.random.key(2), noise, None)
+        ladder = fm.padded_fm_ladder(CFG, 3, 5)
+        out_p, traj_p = padded(None, fparams, jax.random.key(2), noise, None,
+                               *ladder)
+        # identical RNG chain prefix -> identical actions -> identical output
+        np.testing.assert_array_equal(np.asarray(out_pc), np.asarray(out_p))
+        np.testing.assert_array_equal(
+            np.asarray(traj_pc.actions), np.asarray(traj_p.actions[:, :2])
+        )
+        # pad rows flagged invalid with zeroed masks
+        np.testing.assert_array_equal(np.asarray(traj_p.valid[:, :2]), 1.0)
+        np.testing.assert_array_equal(np.asarray(traj_p.valid[:, 2:]), 0.0)
+        np.testing.assert_array_equal(np.asarray(traj_p.masks[:, 2:]), 0.0)
+
+    def test_padded_degenerate_equals_euler_baseline(self):
+        """factor_net=None padded program == the Euler baseline zoo solver
+        (how the edit trainer's padded BASELINE rollout works)."""
+        rng = np.random.default_rng(3)
+        v0 = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+        noise = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+        base = fm.make_fm_baseline_denoise_fn(const_velocity(v0), CFG, "euler", 4)
+        padded = fm.make_padded_fm_denoise_fn(
+            const_velocity(v0), CFG, None, max_steps=6
+        )
+        ladder = fm.padded_fm_ladder(CFG, 4, 6)
+        out_p, _ = padded(None, None, jax.random.key(0), noise, None, *ladder)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(base(None, noise, None)),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
 class TestPerTokenBranch:
     """make_fm_denoise_fn(per_token=True): the Mochi-style per-token
     timestep branch (scheduler_fmppo.py:363-371, VERDICT r2 item #10)."""

@@ -457,6 +457,25 @@ def test_edit_tp_mesh_serving(edit_pipe, edit_engine):
     assert diff.max() <= 1, f"TP image deviates: max abs diff {diff.max()}"
 
 
+def test_edit_padded_serving_one_program(edit_pipe):
+    from consolver_tpu.serve import EditInferenceEngine
+
+    eng = EditInferenceEngine(
+        edit_pipe, resolution=16, batch_size=2, t5_max_length=4,
+        clip_max_length=4, flush_ms=50.0, padded_max_steps=4,
+    )
+    try:
+        a = eng.generate(_edit_req(20, num_inference_steps=2), timeout=300)
+        b = eng.generate(_edit_req(20, num_inference_steps=3), timeout=300)
+        padded_keys = [
+            k for k in eng.pipeline._denoise_cache if k[0] == "padded"
+        ]
+        assert len(padded_keys) == 1  # one program served both counts
+        assert not np.array_equal(a, b)
+    finally:
+        eng.shutdown()
+
+
 def test_edit_http_roundtrip(edit_engine):
     from PIL import Image
 

@@ -52,6 +52,45 @@ def test_edit_trainer_end_to_end(pipe, tmp_path):  # noqa: F811
     assert changed
 
 
+def test_edit_padded_rollout_matches_per_count(pipe, tmp_path):  # noqa: F811
+    """padded_rollout=True: ONE compiled policy program + ONE baseline
+    program serve every step count, with train metrics identical to the
+    per-count trainer (valid-masked PPO means; same RNG chain prefix)."""
+
+    def run(padded):
+        pipe.factor_params = pipe.factor_net.init(jax.random.key(11))
+        config = TrainConfig(
+            min_inference_steps=2, max_inference_steps=4, seed=7,
+            output_dir=str(tmp_path / ("p" if padded else "c")),
+            padded_rollout=padded,
+            ppo=PPOConfig(ppo_epochs=1, learning_rate=1e-3),
+        )
+        trainer = EditPPOTrainer(pipe, make_reward_fn("image_psnr"), config)
+        rng = np.random.default_rng(5)
+        batch = {
+            "noise": rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+            "latent": rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+            "ref_image": np.zeros((2, 16, 16, 3), np.float32),
+            "t5_ids": np.ones((2, 4), np.int64),
+            "clip_ids": np.ones((2, 4), np.int64),
+        }
+        metrics = trainer.train_step(batch)
+        return metrics, trainer.params
+
+    m_pc, p_pc = run(False)
+    m_p, p_p = run(True)
+    assert m_pc["num_inference"] == m_p["num_inference"]
+    np.testing.assert_allclose(m_p["reward"], m_pc["reward"], rtol=1e-6)
+    np.testing.assert_allclose(
+        m_p["baseline_reward"], m_pc["baseline_reward"], rtol=1e-6
+    )
+    np.testing.assert_allclose(m_p["loss"], m_pc["loss"], rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(p_pc), jax.tree.leaves(p_p)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
+
+
 def test_edit_trainer_mesh_matches_single_device(pipe, tmp_path):  # noqa: F811
     """EditPPOTrainer(mesh=...) — the TPU-native replacement for the
     reference's 8-way DDP FLUX trainer (edit_ppo/run_ppo.sh:5) — must
