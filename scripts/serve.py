@@ -213,7 +213,24 @@ def main():
                          "(steps, cfg, solver) signature pays the remote "
                          "TPU compile (~1-3 min)")
     args = ap.parse_args()
+    server, engines, descs = build_server(args)
+    host, port = server.server_address[:2]
+    print(f"serving on http://{host}:{port}  "
+          f"({'; '.join(descs)}, devices={jax.device_count()})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        for eng in engines:
+            eng.shutdown()
 
+
+def build_server(args):
+    """Assemble engines + HTTP server from parsed CLI args (separated from
+    main() so tests can drive the exact CLI wiring in-process).  Returns
+    (server, engines, descriptions)."""
     from consolver_tpu.serve import make_server
 
     t2i_engine = edit_engine = None
@@ -261,18 +278,8 @@ def main():
     server = make_server(t2i_engine, host=args.host, port=args.port,
                          request_timeout=args.request_timeout,
                          edit_engine=edit_engine)
-    host, port = server.server_address[:2]
-    print(f"serving on http://{host}:{port}  "
-          f"({'; '.join(descs)}, devices={jax.device_count()})", flush=True)
-    try:
-        server.serve_forever()
-    except KeyboardInterrupt:
-        pass
-    finally:
-        server.shutdown()
-        for eng in (t2i_engine, edit_engine):
-            if eng is not None:
-                eng.shutdown()
+    engines = [e for e in (t2i_engine, edit_engine) if e is not None]
+    return server, engines, descs
 
 
 if __name__ == "__main__":

@@ -476,6 +476,61 @@ def test_edit_padded_serving_one_program(edit_pipe):
         eng.shutdown()
 
 
+@pytest.mark.slow
+def test_serve_cli_family_both_smoke(monkeypatch):
+    """The exact serve.py CLI wiring (--family both --prewarm, smoke
+    models): both endpoints live on one server, prewarm compiled one
+    program per engine before the bind."""
+    import sys
+
+    import scripts.serve as serve_mod
+
+    monkeypatch.setattr(sys, "argv", [
+        "serve.py", "--family", "both", "--port", "0",
+        "--batch-size", "2", "--flush-ms", "20", "--prewarm",
+    ])
+    # run main() through parsing + engine/server assembly, stopping before
+    # the blocking serve_forever loop
+    captured = {}
+    real_build = serve_mod.build_server
+
+    class _Assembled(Exception):
+        pass
+
+    def capture(args):
+        captured["result"] = real_build(args)
+        raise _Assembled
+
+    monkeypatch.setattr(serve_mod, "build_server", capture)
+    with pytest.raises(_Assembled):
+        serve_mod.main()
+    server, engines, descs = captured["result"]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        assert len(engines) == 2 and len(descs) == 2
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r)["ok"]
+        body = json.dumps({"prompt": "smoke", "seed": 1,
+                           "num_inference_steps": 2}).encode()
+        req = urllib.request.Request(f"{base}/v1/generate", data=body,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert "image_png_b64" in json.load(r)
+        with urllib.request.urlopen(f"{base}/v1/stats", timeout=30) as r:
+            stats = json.load(r)
+        assert set(stats) == {"generate", "edit"}
+        # --prewarm warmed one program per engine before the bind
+        assert stats["generate"]["batches"] >= 1
+        assert stats["edit"]["batches"] >= 1
+    finally:
+        server.shutdown()
+        for eng in engines:
+            eng.shutdown()
+
+
 def test_edit_http_roundtrip(edit_engine):
     from PIL import Image
 
