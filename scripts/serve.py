@@ -212,7 +212,15 @@ def main():
                     help="per-request ceiling; first request of a new "
                          "(steps, cfg, solver) signature pays the remote "
                          "TPU compile (~1-3 min)")
+    ap.add_argument("--compile-cache", default=".jax_serve_cache",
+                    help="persistent XLA compilation cache dir so server "
+                         "RESTARTS reload executables instead of "
+                         "recompiling ('' disables)")
     args = ap.parse_args()
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(args.compile_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     server, engines, descs = build_server(args)
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port}  "
