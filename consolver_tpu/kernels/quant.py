@@ -228,6 +228,132 @@ def int8_attention(
     return out.astype(out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# Int4 weight-only (W4A16) path — a MEMORY feature, not a speed feature.
+#
+# The 11.9B FLUX-Kontext DiT is 23.8GB bf16 (needs >=2 chips) and 12.1GB
+# int8 (fits one v5e chip, measured in scripts/probe_flux_serving.py).
+# Packing weights to 4 bits brings it to ~6.3GB: ~2x faster host->device
+# transfer through the tunnel (the 12GB int8 tree took 174s) and ~6GB of
+# freed HBM for activations (1024^2 edit-training batch 1 RESOURCE_EXHAUSTs
+# at int8).  Compute stays in the module dtype (bf16): the packed nibbles
+# are unpacked + group-dequantized right before the dot, which is an
+# elementwise prologue XLA fuses; at FLUX serving shapes (8704 tokens) the
+# matmuls are compute-bound so the speed is the bf16 MXU rate — slower
+# than W8A8, choose int8 when speed matters and int4 when memory does.
+#
+# Scheme: symmetric int4 in [-7, 7], group-wise scales along the INPUT
+# (contraction) axis, group_size=128 (the industry-standard W4 recipe —
+# per-channel-only int4 degrades real checkpoints); two nibbles packed per
+# uint8 byte along the input axis.
+# ---------------------------------------------------------------------------
+
+
+def pack_int4(w4: jax.Array) -> jax.Array:
+    """Pack int8-valued int4 numbers [in, out] (in even) -> uint8 [in//2, out].
+
+    Row 2i goes to the low nibble, row 2i+1 to the high nibble."""
+    lo = w4[0::2].astype(jnp.uint8) & 0xF
+    hi = w4[1::2].astype(jnp.uint8) & 0xF
+    return (hi << 4) | lo
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """uint8 [in//2, out] -> int8 [in, out] with sign-extended nibbles."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    lo = lo - jnp.asarray(16, jnp.int8) * (lo >= 8)
+    hi = hi - jnp.asarray(16, jnp.int8) * (hi >= 8)
+    return jnp.stack([lo, hi], axis=1).reshape(-1, packed.shape[-1])
+
+
+def _int4_groups(in_features: int, group_size: int) -> int:
+    """Number of scale groups along the input axis: ``group_size`` when it
+    divides in_features, else one per-channel-only group (tiny inputs like
+    the FLUX x_embedder's 64)."""
+    if group_size > 0 and in_features % group_size == 0:
+        return in_features // group_size
+    return 1
+
+
+def quantize_weight_int4(
+    w: jax.Array, group_size: int = 128
+) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric group-wise int4: returns (packed uint8 [in//2, out],
+    scale f32 [groups, out]).  ``in`` must be even (true for every FLUX
+    projection; assert otherwise)."""
+    w = jnp.asarray(w, jnp.float32)
+    if w.ndim != 2:
+        raise ValueError(f"int4 quant expects a 2-D dense kernel, got {w.shape}")
+    in_f, out_f = w.shape
+    if in_f % 2:
+        raise ValueError(f"int4 packing needs an even input dim, got {in_f}")
+    groups = _int4_groups(in_f, group_size)
+    wg = w.reshape(groups, in_f // groups, out_f)
+    amax = jnp.max(jnp.abs(wg), axis=1)                       # [groups, out]
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    w4 = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+    return pack_int4(w4.reshape(in_f, out_f).astype(jnp.int8)), scale
+
+
+def dequantize_int4(
+    packed: jax.Array, scale: jax.Array, dtype: jnp.dtype = jnp.float32
+) -> jax.Array:
+    """Inverse of :func:`quantize_weight_int4` -> float kernel [in, out]."""
+    w4 = unpack_int4(packed)
+    in_f, out_f = w4.shape
+    groups = scale.shape[0]
+    wg = w4.reshape(groups, in_f // groups, out_f).astype(jnp.float32)
+    return (wg * scale[:, None, :]).reshape(in_f, out_f).astype(dtype)
+
+
+def int4_dense(
+    x: jax.Array,
+    kernel_packed: jax.Array,
+    kernel_scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """y = x @ dequant(kernel) + bias in the compute dtype (W4A16)."""
+    w = dequantize_int4(kernel_packed, kernel_scale, dtype=dtype)
+    y = jnp.dot(x.astype(dtype), w)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y.astype(dtype)
+
+
+class Int4Dense(nn.Module):
+    """Drop-in for ``nn.Dense`` with 4-bit packed params
+    (kernel_packed/kernel_scale/bias); converted from a float checkpoint by
+    :func:`quantize_params_like` (it recognizes the ``kernel_packed`` leaf)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    group_size: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        if in_f % 2:
+            raise ValueError(f"Int4Dense needs an even input dim, got {in_f}")
+        groups = _int4_groups(in_f, self.group_size)
+        packed = self.param(
+            "kernel_packed", nn.initializers.zeros_init(),
+            (in_f // 2, self.features), jnp.uint8,
+        )
+        scale = self.param(
+            "kernel_scale", nn.initializers.ones_init(),
+            (groups, self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return int4_dense(x, packed, scale, bias, dtype=self.dtype)
+
+
 def quantize_params_like(quant_shapes: Any, params: Any) -> Any:
     """Convert a float param tree into the quantized model's tree.
 
@@ -243,7 +369,19 @@ def quantize_params_like(quant_shapes: Any, params: Any) -> Any:
         out = {}
         for key, sub in shape_node.items():
             if isinstance(sub, dict):
-                if "kernel" in sub and "kernel_scale" in sub and not isinstance(
+                if "kernel_packed" in sub and not isinstance(
+                    sub["kernel_packed"], dict
+                ):
+                    src = jnp.asarray(param_node[key]["kernel"])
+                    group_size = src.shape[0] // sub["kernel_scale"].shape[0]
+                    packed, scale = quantize_weight_int4(src, group_size)
+                    node = {"kernel_packed": packed, "kernel_scale": scale}
+                    if "bias" in sub:
+                        node["bias"] = jnp.asarray(
+                            param_node[key]["bias"], sub["bias"].dtype
+                        )
+                    out[key] = node
+                elif "kernel" in sub and "kernel_scale" in sub and not isinstance(
                     sub["kernel"], dict
                 ):
                     src = jnp.asarray(param_node[key]["kernel"])

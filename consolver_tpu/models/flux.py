@@ -47,6 +47,17 @@ class FluxConfig:
     # stay float.  At flux_kontext size this brings the 11.9B-param DiT to
     # ~12GB — inside a single 16GB chip (bf16 needs >= 2 chips + TP).
     quant_int8: bool = False
+    # Packed 4-bit weights for the same projections (W4A16, group-128
+    # scales): ~6.3GB at flux_kontext size — a memory/transfer knob, not a
+    # speed knob (compute runs at the bf16 rate; int8 is faster).  Wins
+    # when HBM headroom matters: 1024^2 single-chip work, 2x faster
+    # host->device checkpoint loads.  Takes precedence over quant_int8.
+    quant_int4: bool = False
+
+    @property
+    def quant_mode(self):
+        """make_dense policy: "int4" | True (int8) | False."""
+        return "int4" if self.quant_int4 else self.quant_int8
 
     @classmethod
     def flux_kontext(cls) -> "FluxConfig":
@@ -172,9 +183,9 @@ class DoubleStreamBlock(nn.Module):
         b = img.shape[0]
         s_txt = txt.shape[1]
 
-        mod_img = make_dense(cfg.quant_int8, 6 * h, dtype=self.dtype,
+        mod_img = make_dense(cfg.quant_mode, 6 * h, dtype=self.dtype,
                              name="norm1_linear")(nn.silu(vec))
-        mod_txt = make_dense(cfg.quant_int8, 6 * h, dtype=self.dtype,
+        mod_txt = make_dense(cfg.quant_mode, 6 * h, dtype=self.dtype,
                              name="norm1_context_linear")(nn.silu(vec))
         i_shift_a, i_scale_a, i_gate_a, i_shift_m, i_scale_m, i_gate_m = jnp.split(
             mod_img, 6, axis=-1
@@ -192,9 +203,9 @@ class DoubleStreamBlock(nn.Module):
         )
 
         def qkv(x, prefix):
-            q = make_dense(cfg.quant_int8, h, dtype=self.dtype, name=f"{prefix}q")(x)
-            k = make_dense(cfg.quant_int8, h, dtype=self.dtype, name=f"{prefix}k")(x)
-            v = make_dense(cfg.quant_int8, h, dtype=self.dtype, name=f"{prefix}v")(x)
+            q = make_dense(cfg.quant_mode, h, dtype=self.dtype, name=f"{prefix}q")(x)
+            k = make_dense(cfg.quant_mode, h, dtype=self.dtype, name=f"{prefix}k")(x)
+            v = make_dense(cfg.quant_mode, h, dtype=self.dtype, name=f"{prefix}v")(x)
             return (
                 q.reshape(b, -1, nh, hd),
                 k.reshape(b, -1, nh, hd),
@@ -217,27 +228,27 @@ class DoubleStreamBlock(nn.Module):
         txt_attn, img_attn = out[:, :s_txt], out[:, s_txt:]
 
         img = img + i_gate_a[:, None, :] * make_dense(
-            cfg.quant_int8, h, dtype=self.dtype, name="attn_to_out_0"
+            cfg.quant_mode, h, dtype=self.dtype, name="attn_to_out_0"
         )(img_attn)
         txt = txt + t_gate_a[:, None, :] * make_dense(
-            cfg.quant_int8, h, dtype=self.dtype, name="attn_to_add_out"
+            cfg.quant_mode, h, dtype=self.dtype, name="attn_to_add_out"
         )(txt_attn)
 
         img_m = _modulate(ln("norm2")(img).astype(self.dtype), i_shift_m, i_scale_m)
         txt_m = _modulate(
             ln("norm2_context")(txt).astype(self.dtype), t_shift_m, t_scale_m
         )
-        img_ff = make_dense(cfg.quant_int8, h, dtype=self.dtype, name="ff_net_2")(
+        img_ff = make_dense(cfg.quant_mode, h, dtype=self.dtype, name="ff_net_2")(
             nn.gelu(
-                make_dense(cfg.quant_int8, mlp_h, dtype=self.dtype,
+                make_dense(cfg.quant_mode, mlp_h, dtype=self.dtype,
                            name="ff_net_0_proj")(img_m),
                 approximate=True,
             )
         )
-        txt_ff = make_dense(cfg.quant_int8, h, dtype=self.dtype,
+        txt_ff = make_dense(cfg.quant_mode, h, dtype=self.dtype,
                             name="ff_context_net_2")(
             nn.gelu(
-                make_dense(cfg.quant_int8, mlp_h, dtype=self.dtype,
+                make_dense(cfg.quant_mode, mlp_h, dtype=self.dtype,
                            name="ff_context_net_0_proj")(txt_m),
                 approximate=True,
             )
@@ -258,7 +269,7 @@ class SingleStreamBlock(nn.Module):
         mlp_h = int(h * cfg.mlp_ratio)
         b, s, _ = x.shape
 
-        mod = make_dense(cfg.quant_int8, 3 * h, dtype=self.dtype,
+        mod = make_dense(cfg.quant_mode, 3 * h, dtype=self.dtype,
                          name="norm_linear")(nn.silu(vec))
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         x_n = _modulate(
@@ -270,9 +281,9 @@ class SingleStreamBlock(nn.Module):
             scale,
         )
 
-        q = make_dense(cfg.quant_int8, h, dtype=self.dtype, name="attn_to_q")(x_n).reshape(b, s, nh, hd)
-        k = make_dense(cfg.quant_int8, h, dtype=self.dtype, name="attn_to_k")(x_n).reshape(b, s, nh, hd)
-        v = make_dense(cfg.quant_int8, h, dtype=self.dtype, name="attn_to_v")(x_n).reshape(b, s, nh, hd)
+        q = make_dense(cfg.quant_mode, h, dtype=self.dtype, name="attn_to_q")(x_n).reshape(b, s, nh, hd)
+        k = make_dense(cfg.quant_mode, h, dtype=self.dtype, name="attn_to_k")(x_n).reshape(b, s, nh, hd)
+        v = make_dense(cfg.quant_mode, h, dtype=self.dtype, name="attn_to_v")(x_n).reshape(b, s, nh, hd)
         q = QKNorm(dtype=self.dtype, name="attn_norm_q")(q)
         k = QKNorm(dtype=self.dtype, name="attn_norm_k")(k)
         q = apply_rope(q, cos, sin)
@@ -280,10 +291,10 @@ class SingleStreamBlock(nn.Module):
         attn = attention_op(q, k, v).reshape(b, s, h)
 
         mlp = nn.gelu(
-            make_dense(cfg.quant_int8, mlp_h, dtype=self.dtype, name="proj_mlp")(x_n),
+            make_dense(cfg.quant_mode, mlp_h, dtype=self.dtype, name="proj_mlp")(x_n),
             approximate=True,
         )
-        out = make_dense(cfg.quant_int8, h, dtype=self.dtype, name="proj_out")(
+        out = make_dense(cfg.quant_mode, h, dtype=self.dtype, name="proj_out")(
             jnp.concatenate([attn, mlp], axis=-1)
         )
         return x + gate[:, None, :] * out

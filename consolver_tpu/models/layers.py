@@ -23,13 +23,17 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from consolver_tpu.kernels.attention import attention as attention_op
-from consolver_tpu.kernels.quant import Int8Conv, Int8Dense
+from consolver_tpu.kernels.quant import Int4Dense, Int8Conv, Int8Dense
 
 
-def make_dense(quant: bool, features: int, *, use_bias: bool = True,
+def make_dense(quant, features: int, *, use_bias: bool = True,
                dtype=jnp.float32, name: str):
-    """nn.Dense, or its W8A8 int8 twin when the quant policy is on
-    (kernels/quant.py; int8 MXU = 2x bf16 peak)."""
+    """nn.Dense, or a quantized twin per the quant policy (kernels/quant.py):
+    ``True``/``"int8"`` = W8A8 (int8 MXU, 2x bf16 peak); ``"int4"`` = packed
+    4-bit weights, bf16 compute (half the int8 memory — serving/rollout
+    footprint, not speed)."""
+    if quant == "int4":
+        return Int4Dense(features, use_bias=use_bias, dtype=dtype, name=name)
     if quant:
         return Int8Dense(features, use_bias=use_bias, dtype=dtype, name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)

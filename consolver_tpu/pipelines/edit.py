@@ -85,20 +85,27 @@ class FluxKontextPipeline:
         )
         return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
 
-    def quantize(self) -> "FluxKontextPipeline":
-        """W8A8 int8 serving copy: DiT stream-block projections + modulation
-        and the VAE decoder run int8 (kernels/quant.py).  At flux_kontext
-        size this brings the 11.9B DiT to ~12GB — single-chip serving
-        (bf16 needs >= 2 chips + dist/tp).  Encoders stay float."""
+    def quantize(self, bits: int = 8) -> "FluxKontextPipeline":
+        """Quantized serving copy.  ``bits=8``: W8A8 int8 DiT stream-block
+        projections + modulation and int8 VAE decoder (kernels/quant.py) —
+        the SPEED config; at flux_kontext size the 11.9B DiT is ~12GB, a
+        single 16GB chip (bf16 needs >= 2 chips + dist/tp).  ``bits=4``:
+        packed 4-bit DiT weights, bf16 compute (W4A16 group-128) — the
+        MEMORY config (~6.3GB DiT: 2x faster host->device loads + ~6GB of
+        HBM headroom for 1024^2 activations); VAE decoder stays int8.
+        Encoders stay float either way."""
         import dataclasses as _dc
 
         from consolver_tpu.kernels.quant import quantize_params_like
         from consolver_tpu.models.flux import FluxTransformer
         from consolver_tpu.models.vae import AutoencoderKL
 
+        if bits not in (4, 8):
+            raise ValueError(f"bits must be 4 or 8, got {bits}")
         cfg = self.transformer.cfg
-        qtr = FluxTransformer(_dc.replace(cfg, quant_int8=True),
-                              dtype=self.transformer.dtype)
+        qcfg = (_dc.replace(cfg, quant_int4=True) if bits == 4
+                else _dc.replace(cfg, quant_int8=True))
+        qtr = FluxTransformer(qcfg, dtype=self.transformer.dtype)
         s_img, s_txt = 8, 4
         tshapes = jax.eval_shape(
             qtr.init, jax.random.key(0),

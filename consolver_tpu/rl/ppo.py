@@ -37,6 +37,11 @@ class PPOConfig:
     adam_eps: float = 1e-8
     weight_decay: float = 1e-2
     max_grad_norm: float = 1.0
+    # --gradient_accumulation_steps (config.py; run_ppo.sh:19 and
+    # edit_ppo/run_ppo.sh:18 both run production at 1): apply the optimizer
+    # every k update calls, averaging grads across them (the accelerate
+    # `accumulate(factor_net)` wrapper, train_ppo.py:324).
+    grad_accumulation_steps: int = 1
 
 
 def group_advantages(
@@ -148,8 +153,12 @@ def ppo_loss(
 
 def make_optimizer(config: PPOConfig) -> optax.GradientTransformation:
     """AdamW + global-norm clip (replaces the 8-bit bnb Adam + accelerate
-    clip_grad_norm, train_ppo.py:211-229,430-437)."""
-    return optax.chain(
+    clip_grad_norm, train_ppo.py:211-229,430-437).  With
+    ``grad_accumulation_steps`` k > 1, grads are averaged across k update
+    calls and the optimizer applies on every k-th (optax.MultiSteps — the
+    accelerate ``accumulate`` wrapper, train_ppo.py:324; production runs
+    use 1, run_ppo.sh:19)."""
+    opt = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adamw(
             config.learning_rate,
@@ -159,6 +168,9 @@ def make_optimizer(config: PPOConfig) -> optax.GradientTransformation:
             weight_decay=config.weight_decay,
         ),
     )
+    if config.grad_accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, config.grad_accumulation_steps)
+    return opt
 
 
 def make_update_fn(

@@ -11,7 +11,11 @@ single-chip int8-rollout training step at a Kontext shape:
   decode + reward + baseline-clipped advantage + factor-net update.
 
   python scripts/probe_train_edit_tpu.py [--batch 2] [--resolution 512]
-      [--steps 3] [--iters 2] [--bf16]
+      [--steps 3] [--iters 2] [--bf16] [--bits 4]
+
+--bits 4 runs the packed-int4 rollout (FluxConfig.quant_int4): slower
+compute (bf16 rate) but ~6GB less weight HBM — the config to try for the
+1024^2 batch-1 step that RESOURCE_EXHAUSTs at int8.
 """
 
 import argparse
@@ -36,6 +40,9 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="keep the DiT bf16 (needs >= 2 chips at full size)")
     ap.add_argument("--decode-chunk", type=int, default=1)
+    ap.add_argument("--bits", type=int, default=8, choices=(4, 8),
+                    help="rollout DiT quantization (8=W8A8 speed, 4=packed "
+                         "int4 memory)")
     args = ap.parse_args()
 
     from bench import random_params_like
@@ -73,7 +80,9 @@ def main():
         from consolver_tpu.kernels.quant import tree_bytes
 
         qtr = FluxTransformer(
-            dataclasses.replace(fcfg, quant_int8=True), dtype=jnp.bfloat16
+            dataclasses.replace(fcfg, quant_int8=args.bits == 8,
+                                quant_int4=args.bits == 4),
+            dtype=jnp.bfloat16,
         )
         qshapes = jax.eval_shape(
             qtr.init, jax.random.key(0), img,
@@ -90,6 +99,8 @@ def main():
         def rand_leaf(s):
             if s.dtype == jnp.int8:
                 return rng.integers(-127, 128, s.shape, dtype=np.int8)
+            if s.dtype == jnp.uint8:  # packed int4 nibbles
+                return rng.integers(0, 256, s.shape, dtype=np.uint8)
             # float leaves are kernel_scales + biases: small positives keep
             # the dequant magnitudes sane (scales must be > 0)
             return jnp.asarray(
@@ -99,7 +110,8 @@ def main():
 
         tr_params = jax.tree.map(rand_leaf, qshapes)
         transformer = qtr
-        print(f"int8 DiT: {tree_bytes(tr_params)/1e9:.2f} GB", flush=True)
+        print(f"int{args.bits} DiT: {tree_bytes(tr_params)/1e9:.2f} GB",
+              flush=True)
         # transfer ONCE: host-numpy leaves passed to jit re-stage the 12GB
         # tree on EVERY program call (measured: host RAM balloons past
         # 100GB); committed device arrays are reused by all programs

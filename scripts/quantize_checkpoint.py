@@ -1,17 +1,22 @@
 #!/usr/bin/env python
-"""Convert a float pipeline checkpoint into an int8 SERVING checkpoint.
+"""Convert a float pipeline checkpoint into a quantized SERVING checkpoint.
 
-Runs the one-call ``pipeline.quantize()`` conversion (kernels/quant.py W8A8
-recipe) once, offline, and writes the quantized orbax trees + per-component
-``_config.json`` (with ``quant_int8: true``) so serving hosts load int8
-directly — half the disk/host-RAM of the float checkpoint and no per-startup
-quantization (the 11.9B FLUX-Kontext DiT: 23.8 GB bf16 -> ~12 GB int8,
-single-chip serving; docs/SERVING.md).
+Runs the one-call ``pipeline.quantize()`` conversion (kernels/quant.py) once,
+offline, and writes the quantized orbax trees + per-component
+``_config.json`` (with ``quant_int8``/``quant_int4`` set) so serving hosts
+load quantized weights directly — no per-startup quantization and a fraction
+of the float checkpoint's disk/host RAM.  The 11.9B FLUX-Kontext DiT:
+23.8 GB bf16 -> ~12 GB int8 (W8A8, the SPEED config — single-chip serving)
+-> ~6.3 GB with ``--bits 4`` (W4A16 group-128, the MEMORY config: 2x faster
+host->device loads, ~6 GB extra HBM headroom; compute runs at the bf16
+rate).  docs/SERVING.md.
 
   python scripts/quantize_checkpoint.py --family sd --pretrained ckpts/sd15 \
       --dst ckpts/sd15_int8
   python scripts/quantize_checkpoint.py --family flux --pretrained ckpts/flux \
       --dst ckpts/flux_int8
+  python scripts/quantize_checkpoint.py --family flux --bits 4 \
+      --pretrained ckpts/flux --dst ckpts/flux_int4
 
 The output directory is a drop-in ``--pretrained`` for generate.py /
 generate_edit.py / the serving probes (build_pipeline reads the configs).
@@ -46,6 +51,9 @@ def main():
     ap.add_argument("--pretrained", required=True,
                     help="float checkpoint dir (convert_checkpoints.py layout)")
     ap.add_argument("--dst", required=True)
+    ap.add_argument("--bits", type=int, default=8, choices=[4, 8],
+                    help="4 = packed int4 DiT weights (flux only; the VAE "
+                         "decoder stays int8)")
     args = ap.parse_args()
 
     from consolver_tpu.configs.config import ExperimentConfig, apply_overrides
@@ -59,6 +67,9 @@ def main():
             ExperimentConfig.sd15_ppo(),
             {"model.pretrained_path": args.pretrained},
         )
+        if args.bits != 8:
+            raise SystemExit("--bits 4 is a FLUX DiT option (the SD UNet is "
+                             "conv-dominated and fits one chip at int8)")
         fnet = FactorNet(cfg.factor_net)
         pipe = build_pipeline(cfg, fnet, fnet.init(jax.random.key(0))).quantize()
         save_component(args.dst, "unet", pipe.unet_params, pipe.unet.cfg)
@@ -73,7 +84,9 @@ def main():
             {"model.pretrained_path": args.pretrained},
         )
         fnet = FactorNet(cfg.factor_net)
-        pipe = build_pipeline(cfg, fnet, fnet.init(jax.random.key(0))).quantize()
+        pipe = build_pipeline(
+            cfg, fnet, fnet.init(jax.random.key(0))
+        ).quantize(bits=args.bits)
         save_component(args.dst, "transformer", pipe.transformer_params,
                        pipe.transformer.cfg)
         save_component(args.dst, "vae", pipe.vae_params, pipe.vae.cfg)
@@ -99,7 +112,7 @@ def main():
             else [pipe.transformer_params, pipe.vae_params]
         )
     )
-    print(f"wrote int8 serving checkpoint to {args.dst} "
+    print(f"wrote int{args.bits} serving checkpoint to {args.dst} "
           f"({total / 1e9:.2f} GB quantized compute params)")
 
 

@@ -95,6 +95,10 @@ def build_t2i_engine(args):
         fparams = fnet.init(jax.random.key(0))
     pipe = build_pipeline(cfg, fnet, fparams)
     if args.quantize:
+        if args.quantize_bits != 8:
+            raise SystemExit("--quantize-bits 4 is an edit-family option "
+                             "(the SD UNet is conv-dominated; int4 packing "
+                             "covers the FLUX DiT projections)")
         print("serving the int8 W8A8 path (.quantize())", flush=True)
         pipe = pipe.quantize()
 
@@ -130,9 +134,11 @@ def build_edit_engine(args):
         fnet = FactorNet(fcfg)
         fparams = fnet.init(jax.random.key(0))
     pipe = build_pipeline(cfg, fnet, fparams)
-    if args.quantize and not pipe.transformer.cfg.quant_int8:
-        print("serving the int8 W8A8 path (.quantize())", flush=True)
-        pipe = pipe.quantize()
+    tcfg = pipe.transformer.cfg
+    if args.quantize and not (tcfg.quant_int8 or tcfg.quant_int4):
+        print(f"serving the int{args.quantize_bits} path (.quantize())",
+              flush=True)
+        pipe = pipe.quantize(bits=args.quantize_bits)
 
     # real tokenizer dirs ride inside converted checkpoints
     # (convert_checkpoints.py / quantize_checkpoint.py copy them through)
@@ -174,6 +180,10 @@ def main():
     ap.add_argument("--factor-ckpt", default=None)
     ap.add_argument("--quantize", action="store_true",
                     help="serve the W8A8 int8 path (pipeline.quantize())")
+    ap.add_argument("--quantize-bits", type=int, default=8, choices=(4, 8),
+                    help="with --quantize on the edit family: 8 = W8A8 int8 "
+                         "(speed), 4 = packed int4 DiT weights (memory — "
+                         "~6.3GB vs 12GB, bf16-rate compute)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--batch-size", type=int, default=None,

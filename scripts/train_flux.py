@@ -104,6 +104,19 @@ def build_pipeline(cfg, factor_net, factor_params):
     )
 
 
+def maybe_quantize_rollout(pipe, cfg):
+    """model.quantize_rollout: swap the FROZEN rollout DiT + VAE decoder to
+    the quantized path (model.quantize_bits: 8 = W8A8 speed, 4 = packed
+    int4 memory).  Skipped when the checkpoint is already a quantized
+    serving tree (its _config.json sets quant_int8/int4)."""
+    if not cfg.model.quantize_rollout:
+        return pipe
+    tcfg = pipe.transformer.cfg
+    if tcfg.quant_int8 or tcfg.quant_int4:
+        return pipe
+    return pipe.quantize(bits=cfg.model.quantize_bits)
+
+
 def main():
     from consolver_tpu.configs.config import parse_cli
     from consolver_tpu.data.group import TeacherDataset
@@ -117,12 +130,7 @@ def main():
     cfg = parse_cli()
     fnet = FactorNet(cfg.factor_net)
     fparams = fnet.init(jax.random.key(cfg.train.seed))
-    pipe = build_pipeline(cfg, fnet, fparams)
-    if cfg.model.quantize_rollout:
-        # int8 rollout environment (skip if the checkpoint is already an
-        # int8 serving tree — its _config.json sets quant_int8)
-        if not pipe.transformer.cfg.quant_int8:
-            pipe = pipe.quantize()
+    pipe = maybe_quantize_rollout(build_pipeline(cfg, fnet, fparams), cfg)
     reward_fn = build_reward(cfg)
 
     # topology from config (edit_ppo/run_ppo.sh:5 runs 8-way DDP): one

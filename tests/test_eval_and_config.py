@@ -381,3 +381,42 @@ def test_generate_cli_eta_smoke(tmp_path, monkeypatch):
     import glob
 
     assert len(glob.glob(str(out / "*.png"))) == 4
+
+
+# ---------------------------------------------------------------------------
+# Unified CLI front door (consolver_tpu/__main__.py)
+# ---------------------------------------------------------------------------
+
+
+def test_unified_cli_dispatch(tmp_path, capsys):
+    from consolver_tpu.__main__ import main, _COMMANDS
+    import scripts
+
+    # help path
+    assert main([]) == 0
+    assert "train-flux" in capsys.readouterr().out
+    assert main(["no-such-command"]) == 2
+
+    # every command maps to an importable scripts module with a main()
+    import importlib
+    for mod in _COMMANDS.values():
+        m = importlib.import_module(f"scripts.{mod}")
+        assert callable(getattr(m, "main")), mod
+
+    # argv forwarding: run a real (cheap) command end-to-end
+    import numpy as np
+    from PIL import Image
+
+    gen, ref2 = tmp_path / "gen", tmp_path / "ref"
+    for d in (gen, ref2):
+        d.mkdir()
+        for i in range(2):
+            arr = np.full((8, 8, 3), 40 * (i + 1), np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+    out = tmp_path / "stats.json"
+    assert main(["evaluate", "consistency", "--generated", str(gen),
+                 "--reference", str(ref2), "--reward", "image_psnr",
+                 "--out", str(out)]) == 0
+    import json
+    stats = json.loads(out.read_text())
+    assert stats["num_scored"] == 2 and stats["num_errors"] == 0

@@ -376,3 +376,36 @@ def test_padded_rollout_trainer_matches_rewards(tmp_path):
         assert m_ref["num_inference"] == m_pad["num_inference"]
         np.testing.assert_allclose(m_ref["reward"], m_pad["reward"], rtol=1e-5)
         assert np.isfinite(m_pad["loss"])
+
+
+def test_grad_accumulation_steps():
+    """PPOConfig.grad_accumulation_steps=k: params move only every k-th
+    update, by exactly the single-step update on the k-grad average
+    (reference --gradient_accumulation_steps via accelerate accumulate,
+    train_ppo.py:324; production k=1)."""
+    import optax
+
+    from consolver_tpu.rl.ppo import PPOConfig, make_optimizer
+
+    params = {"w": jnp.ones((3,))}
+    g1 = {"w": jnp.asarray([0.1, -0.2, 0.3])}
+    g2 = {"w": jnp.asarray([0.3, 0.0, -0.1])}
+
+    cfg = PPOConfig(grad_accumulation_steps=2)
+    opt = make_optimizer(cfg)
+    state = opt.init(params)
+    up1, state = opt.update(g1, state, params)
+    mid = optax.apply_updates(params, up1)
+    # first micro-step: no movement
+    np.testing.assert_array_equal(np.asarray(mid["w"]), np.asarray(params["w"]))
+    up2, state = opt.update(g2, state, mid)
+    after = optax.apply_updates(mid, up2)
+
+    ref_opt = make_optimizer(PPOConfig())
+    ref_state = ref_opt.init(params)
+    gavg = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+    ref_up, _ = ref_opt.update(gavg, ref_state, params)
+    ref_after = optax.apply_updates(params, ref_up)
+    np.testing.assert_allclose(
+        np.asarray(after["w"]), np.asarray(ref_after["w"]), rtol=1e-6
+    )

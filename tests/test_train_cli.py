@@ -150,3 +150,33 @@ def test_train_flux_cli_quantized_rollout(tmp_path, monkeypatch):
 
     main()
     assert (out / "checkpoint-1").is_dir()
+
+
+def test_flux_quantize_bits_knob():
+    """model.quantize_bits routes the rollout environment to int8 or packed
+    int4 (train_flux.maybe_quantize_rollout); already-quantized checkpoints
+    are left alone."""
+    import jax
+
+    from consolver_tpu.configs.config import ExperimentConfig, apply_overrides
+    from consolver_tpu.policy import FactorNet
+    from scripts.train_flux import build_pipeline, maybe_quantize_rollout
+
+    cfg = apply_overrides(ExperimentConfig.flux_ppo(), {
+        "model.quantize_rollout": "true", "data.batch_size": "2",
+    })
+    fnet = FactorNet(cfg.factor_net)
+    pipe = build_pipeline(cfg, fnet, fnet.init(jax.random.key(0)))
+
+    q8 = maybe_quantize_rollout(pipe, cfg)
+    assert q8.transformer.cfg.quant_int8 and not q8.transformer.cfg.quant_int4
+
+    cfg4 = apply_overrides(cfg, {"model.quantize_bits": "4"})
+    q4 = maybe_quantize_rollout(pipe, cfg4)
+    assert q4.transformer.cfg.quant_int4 and q4.transformer.cfg.quant_mode == "int4"
+
+    # idempotent on an already-quantized tree
+    assert maybe_quantize_rollout(q8, cfg4) is q8
+    # off by default
+    off = apply_overrides(cfg, {"model.quantize_rollout": "false"})
+    assert maybe_quantize_rollout(pipe, off) is pipe
