@@ -6,6 +6,8 @@ from consolver_tpu.serve.engine import (
     EngineShutDown,
     GenerationRequest,
     InferenceEngine,
+    ReplicaGroup,
+    make_replicas,
 )
 from consolver_tpu.serve.http import ServeServer, make_server
 
@@ -15,6 +17,8 @@ __all__ = [
     "EngineShutDown",
     "GenerationRequest",
     "InferenceEngine",
+    "ReplicaGroup",
     "ServeServer",
+    "make_replicas",
     "make_server",
 ]

@@ -571,3 +571,157 @@ class EditInferenceEngine(_BatchingEngine):
             padded_max_steps=padded,
         )
         return self._to_uint8(images, n)
+
+
+# ---------------------------------------------------------------- replicas
+def _pin_to_device(pipeline, device, param_attrs: Tuple[str, ...]):
+    """Shallow-copy ``pipeline`` with its param trees committed to one
+    ``device``.  Committed params pin every downstream jitted program to
+    that chip (placement follows committed operands), so N copies = N
+    independent single-chip programs — pure replica data parallelism,
+    no collectives, no mesh."""
+    import copy
+
+    p2 = copy.copy(pipeline)
+    for attr in param_attrs:
+        val = getattr(pipeline, attr, None)
+        if val is not None:
+            setattr(p2, attr, jax.device_put(val, device))
+    # per-device shardings re-lower the programs; never share the cache
+    p2._denoise_cache = {}
+    return p2
+
+
+class ReplicaGroup:
+    """Serve one engine per chip with least-loaded dispatch.
+
+    The third multi-chip serving mode, complementing ``mesh=`` (one SPMD
+    program with the batch sharded over a data axis) and ``--tp`` (the
+    denoiser tensor-sharded across chips): each replica owns a full param
+    copy and compiles/serves its own batches.  Versus the SPMD mode the
+    replicas trade one big synchronized batch for independent queues —
+    under ragged or program-diverse load (mixed step counts / cfg scales
+    fork programs and can't share an SPMD batch) every chip keeps busy on
+    its own stream instead of waiting for a global batch of its program to
+    fill.  This is the TPU shape of the reference's per-GPU worker pools
+    (gen_ppo.py:446-462, edit_ppo/generate_ours.py:176-189), resident and
+    queue-fed instead of fork-per-job.
+
+    Build via :func:`make_replicas`; any engine type works.  The group
+    quacks like an engine (submit/generate/prewarm/stats/shutdown) so the
+    HTTP layer and probes are replica-agnostic.
+    """
+
+    def __init__(self, engines):
+        engines = list(engines)
+        if not engines:
+            raise ValueError("ReplicaGroup needs at least one engine")
+        self.engines = engines
+        self._inflight = [0] * len(engines)
+        self._rr = 0
+        self._lock = threading.Lock()
+
+    @property
+    def batch_size(self) -> int:
+        return self.engines[0].batch_size
+
+    def submit(self, request) -> Future:
+        """Dispatch to the replica with the fewest in-flight requests
+        (round-robin among ties so idle replicas alternate)."""
+        n = len(self.engines)
+        with self._lock:
+            order = [(self._rr + j) % n for j in range(n)]
+            i = min(order, key=lambda j: self._inflight[j])
+            self._rr = (i + 1) % n
+            self._inflight[i] += 1
+        fut = self.engines[i].submit(request)
+
+        def _done(_fut, i=i):
+            with self._lock:
+                self._inflight[i] -= 1
+
+        fut.add_done_callback(_done)
+        return fut
+
+    def generate(self, request, timeout: Optional[float] = None) -> np.ndarray:
+        return self.submit(request).result(timeout)
+
+    def prewarm(self, *requests, timeout: Optional[float] = None) -> int:
+        """Warm EVERY replica (each owns its own compiled programs)."""
+        return sum(
+            eng.prewarm(*requests, timeout=timeout) for eng in self.engines
+        )
+
+    def stats(self) -> dict:
+        per = [eng.stats() for eng in self.engines]
+        agg = {
+            k: sum(s[k] for s in per)
+            for k in ("requests", "completed", "errors", "batches",
+                      "batched_rows", "padded_rows")
+        }
+        agg["batch_size"] = self.batch_size
+        agg["replicas"] = len(per)
+        agg["mean_batch_occupancy"] = (
+            agg["batched_rows"] / (agg["batches"] * self.batch_size)
+            if agg["batches"]
+            else 0.0
+        )
+        # latency percentiles: pool the replicas' ring buffers (snapshot
+        # under each engine's lock — deques raise if mutated mid-iteration)
+        for name, attr in (("queue_wait_ms", "_wait_ms"),
+                           ("execute_ms", "_exec_ms")):
+            xs = []
+            for eng in self.engines:
+                with eng._lock:
+                    xs.extend(getattr(eng, attr))
+            xs.sort()
+            if xs:
+                agg[f"{name}_p50"] = round(xs[len(xs) // 2], 1)
+                agg[f"{name}_p95"] = round(xs[int(len(xs) * 0.95)], 1)
+        agg["per_replica"] = per
+        return agg
+
+    def shutdown(self, timeout: float = 10.0) -> None:
+        for eng in self.engines:
+            eng.shutdown(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+
+_REPLICA_PARAM_ATTRS = {
+    "t2i": ("unet_params", "text_params", "vae_params", "factor_params"),
+    "edit": ("transformer_params", "t5_params", "clip_params",
+             "vae_params", "factor_params"),
+}
+
+
+def make_replicas(
+    pipeline,
+    engine_cls,
+    n_replicas: int,
+    devices=None,
+    **engine_kwargs,
+) -> "ReplicaGroup":
+    """One ``engine_cls`` per device, each with a committed param copy.
+
+    ``devices`` defaults to ``jax.devices()[:n_replicas]``.  Every replica
+    gets the full pipeline (HBM cost = n_replicas x params — use ``mesh``
+    or ``--tp`` when the model doesn't fit per chip)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_replicas > len(devices):
+        raise ValueError(
+            f"{n_replicas} replicas > {len(devices)} visible devices"
+        )
+    family = "edit" if issubclass(engine_cls, EditInferenceEngine) else "t2i"
+    attrs = _REPLICA_PARAM_ATTRS[family]
+    engines = [
+        engine_cls(_pin_to_device(pipeline, devices[i], attrs),
+                   **engine_kwargs)
+        for i in range(n_replicas)
+    ]
+    return ReplicaGroup(engines)

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--arrival-rate", type=float, default=10.0,
                     help="Poisson arrivals per second; 0 = submit all at once")
     ap.add_argument("--deterministic", action="store_true")
+    ap.add_argument("--verify-determinism", action="store_true",
+                    help="before the load run: assert a deterministic "
+                         "request is bit-equal solo vs inside a mixed batch")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -73,6 +76,42 @@ def main():
     t0 = time.monotonic()
     engine.prewarm(req(0), timeout=1800)
     print(f"prewarm {time.monotonic() - t0:.1f}s", flush=True)
+
+    if args.verify_determinism:
+        # The policy's mode-action path must make a request's output a pure
+        # function of (prompt, seed, program) — independent of which batch
+        # slot it lands in and of the other requests sharing the batch
+        # (tests/test_serve.py proves this on the CPU mesh; this replays it
+        # on the real chip, where the flash-attention kernel + bf16 MXU
+        # numerics differ from the CPU backend).
+        probe = GenerationRequest(
+            prompt="determinism probe", seed=args.seed + 777,
+            num_inference_steps=args.steps,
+            guidance_scale=args.guidance_scale, deterministic=True,
+        )
+        solo = engine.generate(probe, timeout=1800)
+        # fillers must be deterministic too — sampled and deterministic
+        # requests never share a batch (engine program forking)
+        fillers = [
+            GenerationRequest(
+                prompt=f"filler {i}", seed=args.seed + i,
+                num_inference_steps=args.steps,
+                guidance_scale=args.guidance_scale, deterministic=True,
+            )
+            for i in range(args.batch_size - 1)
+        ]
+        runs = [("solo-repeat", [probe]), ("mixed-batch", fillers + [probe])]
+        for name, batch in runs:
+            futs = [engine.submit(r) for r in batch]
+            outs = [f.result(timeout=1800) for f in futs]
+            got = outs[-1]
+            ok = got.shape == solo.shape and (got == solo).all()
+            print(f"determinism[{name}]: {'BIT-EQUAL' if ok else 'MISMATCH'}"
+                  + ("" if ok else f"  max|d|={np.abs(got.astype(np.int32) - solo.astype(np.int32)).max()}"),
+                  flush=True)
+            if not ok:
+                engine.shutdown()
+                sys.exit(1)
 
     rng = np.random.default_rng(args.seed)
     futs = []

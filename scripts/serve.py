@@ -68,6 +68,23 @@ def _serving_mesh(args):
     return make_mesh()
 
 
+def _replica_count(args) -> int:
+    """--replicas N: N independent single-chip engines (full param copy +
+    own programs per chip, least-loaded dispatch) — the third multi-chip
+    mode next to --shard (one SPMD batch-sharded program) and --tp
+    (tensor-sharded denoiser).  0 = off."""
+    n = getattr(args, "replicas", 0) or 0
+    if n <= 1:
+        return 0
+    if args.shard or (getattr(args, "tp", 1) or 1) > 1:
+        raise SystemExit("--replicas is mutually exclusive with "
+                         "--shard/--tp (pick one multi-chip mode)")
+    ndev = jax.device_count()
+    if n > ndev:
+        raise SystemExit(f"--replicas {n} > {ndev} visible devices")
+    return n
+
+
 def _data_shards(mesh) -> int:
     if mesh is None:
         return 1
@@ -103,6 +120,16 @@ def build_t2i_engine(args):
         pipe = pipe.quantize()
 
     latent = args.latent_size or (64 if args.pretrained else 8)
+    replicas = _replica_count(args)
+    if replicas:
+        from consolver_tpu.serve.engine import make_replicas
+
+        per = args.batch_size if args.batch_size is not None else 8
+        return make_replicas(
+            pipe, InferenceEngine, replicas, batch_size=per,
+            latent_size=latent, flush_ms=args.flush_ms,
+            padded_max_steps=args.padded_max_steps,
+        ), f"generate replicas={replicas} batch={per}/replica latent={latent}"
     mesh = _serving_mesh(args)
     per_shard = args.batch_size if args.batch_size is not None else 8
     batch = per_shard * _data_shards(mesh)
@@ -151,16 +178,27 @@ def build_edit_engine(args):
         kind="clip", max_length=77,
     )
     resolution = args.resolution or (1024 if args.pretrained else 16)
+    edit_kwargs = dict(
+        resolution=resolution,
+        t5_tokenizer=t5_tok, clip_tokenizer=clip_tok,
+        t5_max_length=args.t5_max_length,
+        clip_max_length=4 if not args.pretrained else 77,
+        flush_ms=args.flush_ms, padded_max_steps=args.padded_max_steps,
+    )
+    replicas = _replica_count(args)
+    if replicas:
+        from consolver_tpu.serve.engine import make_replicas
+
+        per = args.batch_size if args.batch_size is not None else 1
+        return make_replicas(
+            pipe, EditInferenceEngine, replicas, batch_size=per,
+            **edit_kwargs,
+        ), f"edit replicas={replicas} batch={per}/replica resolution={resolution}"
     mesh = _serving_mesh(args)
     per_shard = args.batch_size if args.batch_size is not None else 1
     batch = per_shard * _data_shards(mesh)
     return EditInferenceEngine(
-        pipe, resolution=resolution, batch_size=batch,
-        t5_tokenizer=t5_tok, clip_tokenizer=clip_tok,
-        t5_max_length=args.t5_max_length,
-        clip_max_length=4 if not args.pretrained else 77,
-        flush_ms=args.flush_ms,
-        mesh=mesh, padded_max_steps=args.padded_max_steps,
+        pipe, batch_size=batch, mesh=mesh, **edit_kwargs,
     ), f"edit batch={batch} resolution={resolution}" + (
         f" mesh={dict(mesh.shape)}" if mesh is not None else ""
     )
@@ -193,6 +231,12 @@ def main():
                     help="serve one SPMD program over a data mesh of all "
                          "visible chips (params replicated, batch sharded); "
                          "throughput scales with the mesh")
+    ap.add_argument("--replicas", type=int, default=0,
+                    help="serve N independent single-chip replicas (full "
+                         "param copy + own compiled programs per chip, "
+                         "least-loaded dispatch) instead of one SPMD "
+                         "program; best under ragged/program-diverse load. "
+                         "Mutually exclusive with --shard/--tp")
     ap.add_argument("--tp", type=int, default=1,
                     help="model-axis size: tensor-shard the denoiser over "
                          "this many chips (dist/tp Megatron rules); the "

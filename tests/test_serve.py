@@ -604,3 +604,96 @@ def test_edit_http_roundtrip(edit_engine):
         assert stats["completed"] >= 1
     finally:
         server.shutdown()
+
+
+# --------------------------------------------------------------- replicas
+# The third multi-chip serving mode: N independent single-chip engines
+# with full param copies and least-loaded dispatch (serve/engine.py
+# ReplicaGroup) — vs --shard's one SPMD program.  Results must be
+# bit-identical to a single engine; work must actually reach every chip.
+
+
+def test_replica_group_matches_single_engine(pipeline):
+    from consolver_tpu.serve import make_replicas
+
+    with InferenceEngine(
+        pipeline, batch_size=BATCH, latent_size=LATENT
+    ) as single:
+        solo = single.generate(_req(3), timeout=300)
+    with make_replicas(
+        pipeline, InferenceEngine, 2,
+        batch_size=BATCH, latent_size=LATENT, flush_ms=50.0,
+    ) as group:
+        # params are committed to two DIFFERENT devices
+        devs = [
+            next(iter(jax.tree.leaves(e.pipeline.unet_params)[0].devices()))
+            for e in group.engines
+        ]
+        assert devs[0] != devs[1]
+        got = group.generate(_req(3), timeout=300)
+        np.testing.assert_array_equal(solo, got)
+        # a burst wide enough to need both replicas
+        futs = [group.submit(_req(i)) for i in range(2 * BATCH)]
+        outs = [f.result(timeout=300) for f in futs]
+        s = group.stats()
+        assert s["replicas"] == 2
+        assert s["completed"] == 1 + 2 * BATCH
+        assert sum(p["batches"] for p in s["per_replica"]) == s["batches"]
+        # least-loaded dispatch spread the burst over both replicas
+        assert all(p["requests"] > 0 for p in s["per_replica"])
+        # replica placement never changes results
+        with InferenceEngine(
+            pipeline, batch_size=BATCH, latent_size=LATENT
+        ) as single2:
+            np.testing.assert_array_equal(
+                outs[5], single2.generate(_req(5), timeout=300)
+            )
+
+
+def test_replica_cli_semantics(pipeline, monkeypatch):
+    import argparse
+
+    from scripts.serve import _replica_count
+
+    def ns(**kw):
+        return argparse.Namespace(
+            **{"shard": False, "tp": 1, "replicas": 0, **kw}
+        )
+
+    assert _replica_count(ns()) == 0
+    assert _replica_count(ns(replicas=1)) == 0  # 1 replica = plain engine
+    assert _replica_count(ns(replicas=4)) == 4
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        _replica_count(ns(replicas=2, shard=True))
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        _replica_count(ns(replicas=2, tp=2))
+    with pytest.raises(SystemExit, match="visible devices"):
+        _replica_count(ns(replicas=99))
+
+
+def test_make_replicas_caps_at_device_count(pipeline):
+    from consolver_tpu.serve import make_replicas
+
+    with pytest.raises(ValueError, match="visible devices"):
+        make_replicas(pipeline, InferenceEngine, 99,
+                      batch_size=BATCH, latent_size=LATENT)
+
+
+def test_edit_replicas_pin_transformer_params(edit_pipe):
+    """Edit-family replicas commit the FLUX param trees per device and
+    serve bit-equal to a single engine."""
+    from consolver_tpu.serve import EditInferenceEngine, make_replicas
+
+    kw = dict(resolution=16, batch_size=2, t5_max_length=4,
+              clip_max_length=4, flush_ms=50.0)
+    with EditInferenceEngine(edit_pipe, **kw) as single:
+        solo = single.generate(_edit_req(2, deterministic=True), timeout=300)
+    with make_replicas(edit_pipe, EditInferenceEngine, 2, **kw) as group:
+        devs = [
+            next(iter(jax.tree.leaves(
+                e.pipeline.transformer_params)[0].devices()))
+            for e in group.engines
+        ]
+        assert devs[0] != devs[1]
+        got = group.generate(_edit_req(2, deterministic=True), timeout=300)
+    np.testing.assert_array_equal(solo, got)
