@@ -7,6 +7,7 @@ from consolver_tpu.serve.engine import (
     GenerationRequest,
     InferenceEngine,
     ReplicaGroup,
+    RequestExpired,
     make_replicas,
 )
 from consolver_tpu.serve.http import ServeServer, make_server
@@ -18,6 +19,7 @@ __all__ = [
     "GenerationRequest",
     "InferenceEngine",
     "ReplicaGroup",
+    "RequestExpired",
     "ServeServer",
     "make_replicas",
     "make_server",

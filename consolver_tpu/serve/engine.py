@@ -112,6 +112,12 @@ class EngineShutDown(RuntimeError):
     pass
 
 
+class RequestExpired(RuntimeError):
+    """Raised into a request's Future when it sat queued longer than the
+    engine's ``max_wait_s`` before a batch slot opened (shed load instead
+    of serving arbitrarily stale requests under overload)."""
+
+
 def _mesh_replicate(pipeline, mesh, param_attrs: Tuple[str, ...],
                     tp_attr: Optional[str] = None, tp_rules=None):
     """Shallow-copy ``pipeline`` with its param trees placed on ``mesh``.
@@ -159,12 +165,18 @@ class _BatchingEngine:
     flush_ms : float
         How long the worker waits for more same-program requests after the
         first arrives before dispatching a partial batch.
+    max_wait_s : float, optional
+        Request deadline: a request still queued this long after submit is
+        failed with :class:`RequestExpired` when the worker next forms a
+        batch, instead of being served stale (load shedding under
+        overload).  ``None`` (default) = never expire.
     """
 
     def __init__(self, batch_size: int = 8, flush_ms: float = 30.0,
-                 max_queue: int = 256):
+                 max_queue: int = 256, max_wait_s: Optional[float] = None):
         self.batch_size = int(batch_size)
         self._flush_s = float(flush_ms) / 1e3
+        self._max_wait_s = None if max_wait_s is None else float(max_wait_s)
         self._queue: queue.Queue = queue.Queue(maxsize=max_queue)
         self._pending: collections.deque = collections.deque()
         self._lock = threading.Lock()
@@ -172,6 +184,7 @@ class _BatchingEngine:
             "requests": 0,
             "completed": 0,
             "errors": 0,
+            "expired": 0,
             "batches": 0,
             "batched_rows": 0,
             "padded_rows": 0,
@@ -196,6 +209,14 @@ class _BatchingEngine:
         self._queue.put((request, fut, time.monotonic()))
         with self._lock:
             self._stats["requests"] += 1
+        if self._stop.is_set():
+            # shutdown raced the enqueue: the worker's final drain may
+            # already have passed this item, so fail it here (idempotent —
+            # a Future resolved by the worker/drain wins)
+            try:
+                fut.set_exception(EngineShutDown("engine is shut down"))
+            except Exception:
+                pass
         return fut
 
     def generate(self, request, timeout: Optional[float] = None) -> np.ndarray:
@@ -237,9 +258,22 @@ class _BatchingEngine:
         return s
 
     def shutdown(self, timeout: float = 10.0) -> None:
-        """Stop accepting work, fail queued requests, join the worker."""
+        """Stop accepting work, fail queued requests, join the worker.
+
+        ``_pending`` is owned by the worker thread, which drains it (and
+        the queue) itself when it observes the stop flag — so a join that
+        times out while a batch is mid-execute (first compiles run 1-3 min
+        on chip) is safe: the in-flight batch completes normally and the
+        worker fails the leftovers on its way out.  Only when the worker
+        has provably exited does shutdown re-drain the queue, to catch a
+        submit that raced past the stop check."""
         self._stop.set()
         self._worker.join(timeout)
+        if not self._worker.is_alive():
+            self._drain_on_stop()
+
+    def _drain_on_stop(self) -> None:
+        """Fail everything still pending/queued with EngineShutDown."""
         drained = list(self._pending)
         self._pending = collections.deque()
         while True:
@@ -249,7 +283,10 @@ class _BatchingEngine:
                 break
         for item in drained:
             if not item[1].done():
-                item[1].set_exception(EngineShutDown("engine shut down"))
+                try:
+                    item[1].set_exception(EngineShutDown("engine shut down"))
+                except Exception:
+                    pass
 
     def __enter__(self):
         return self
@@ -275,15 +312,33 @@ class _BatchingEngine:
                     self._pending.append(self._queue.get(timeout=remain))
                 except queue.Empty:
                     break
-            key = self._pending[0][0].program_key
-            batch, rest = [], collections.deque()
+            now = time.monotonic()
+            key, batch, rest, expired = None, [], collections.deque(), 0
             for item in self._pending:
+                if (self._max_wait_s is not None
+                        and now - item[2] > self._max_wait_s):
+                    expired += 1
+                    if not item[1].done():
+                        item[1].set_exception(RequestExpired(
+                            f"request queued {now - item[2]:.1f}s > "
+                            f"max_wait_s={self._max_wait_s}"
+                        ))
+                    continue
+                if key is None:
+                    key = item[0].program_key
                 if item[0].program_key == key and len(batch) < self.batch_size:
                     batch.append(item)
                 else:
                     rest.append(item)
             self._pending = rest
-            self._serve_batch(batch)
+            if expired:
+                with self._lock:
+                    self._stats["expired"] += expired
+            if batch:
+                self._serve_batch(batch)
+        # stop flag observed: this thread owns _pending, so the final
+        # drain happens here (shutdown only re-drains after a clean join)
+        self._drain_on_stop()
 
     def _serve_batch(self, batch) -> None:
         t0 = time.monotonic()
@@ -374,6 +429,7 @@ class InferenceEngine(_BatchingEngine):
         max_length: Optional[int] = None,
         flush_ms: float = 30.0,
         max_queue: int = 256,
+        max_wait_s: Optional[float] = None,
         mesh=None,
         padded_max_steps: Optional[int] = None,
     ):
@@ -404,7 +460,7 @@ class InferenceEngine(_BatchingEngine):
                 )
             )
         )
-        super().__init__(batch_size, flush_ms, max_queue)
+        super().__init__(batch_size, flush_ms, max_queue, max_wait_s)
 
     def _execute(self, requests) -> list:
         from consolver_tpu.data.tokenizer import HashTokenizer, tokenize_batch
@@ -477,6 +533,7 @@ class EditInferenceEngine(_BatchingEngine):
         clip_max_length: int = 77,
         flush_ms: float = 30.0,
         max_queue: int = 256,
+        max_wait_s: Optional[float] = None,
         mesh=None,
         padded_max_steps: Optional[int] = None,
     ):
@@ -514,7 +571,7 @@ class EditInferenceEngine(_BatchingEngine):
                 )
             )
         )
-        super().__init__(batch_size, flush_ms, max_queue)
+        super().__init__(batch_size, flush_ms, max_queue, max_wait_s)
 
     def _execute(self, requests) -> list:
         from consolver_tpu.data.edit_prep import center_crop_resize

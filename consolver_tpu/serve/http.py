@@ -11,6 +11,18 @@ Endpoints
                           "num_inference_steps", "guidance_scale", "solver",
                           "deterministic"}`` -> edited image as base64 PNG.
                           404 unless the server was built with an edit engine.
+``POST /v1/refine``       same body as ``/v1/generate`` but defaulting to the
+                          TEACHER configuration (40-step multistep-DPM — the
+                          reference's own teacher, gen_pretrain/gen.sh:1-2):
+                          the preview->refine product loop (readme.md:135-150).
+                          A request's initial noise derives only from its
+                          ``seed``, so refining with the preview's seed
+                          continues the exact same trajectory start.
+
+Limits: bodies over ``MAX_BODY_BYTES`` are rejected 413 before being read;
+``image_png_b64`` images over ``MAX_EDIT_PIXELS`` are rejected 400 before
+pixel decode (PIL reads the header lazily).  A request that exceeds the
+engine's ``max_wait_s`` queue deadline returns 503 (shed, retryable).
 
 A ``ThreadingHTTPServer`` handles sockets; every handler thread blocks on
 the engine's Future, so concurrent HTTP requests coalesce into one compiled
@@ -36,7 +48,21 @@ from consolver_tpu.serve.engine import (
     EditRequest,
     GenerationRequest,
     InferenceEngine,
+    RequestExpired,
 )
+
+# one oversized /v1/edit body would otherwise balloon host RAM before any
+# validation ran; 64 MB comfortably covers a 16 MP PNG in base64
+MAX_BODY_BYTES = 64 * 1024 * 1024
+# edit engines center-crop-resize to <= 1024^2 anyway; 16 MP bounds the
+# decoded-pixel allocation (checked from the PNG header, pre-decode)
+MAX_EDIT_PIXELS = 16 * 1024 * 1024
+
+# /v1/refine: the teacher-grade signature (reference gen_pretrain/gen.sh:1-2
+# generates teacher data with 40-step multistep DPM-Solver); clients override
+# per-field.  Sharing the preview's seed reproduces the preview's exact
+# initial noise (engine noise is a pure function of seed).
+REFINE_DEFAULTS = {"num_inference_steps": 40, "solver": "multistep-dpm"}
 
 def _json_bool(value) -> bool:
     """Strict JSON-boolean parse: bool("false") is True, so a permissive
@@ -72,8 +98,16 @@ def _decode_image_b64(b64: str) -> np.ndarray:
     from PIL import Image
 
     raw = base64.b64decode(b64, validate=True)
-    img = Image.open(io.BytesIO(raw)).convert("RGB")
-    return np.asarray(img, np.uint8)
+    img = Image.open(io.BytesIO(raw))
+    # PIL reads only the header here — bound the pixel allocation BEFORE
+    # any actual decode so an oversized body can't balloon host RAM
+    w, h = img.size
+    if w * h > MAX_EDIT_PIXELS:
+        raise ValueError(
+            f"image {w}x{h} = {w * h} pixels exceeds the "
+            f"{MAX_EDIT_PIXELS}-pixel limit"
+        )
+    return np.asarray(img.convert("RGB"), np.uint8)
 
 
 class ServeHandler(BaseHTTPRequestHandler):
@@ -118,18 +152,27 @@ class ServeHandler(BaseHTTPRequestHandler):
     def do_POST(self):  # noqa: N802 - stdlib name
         try:
             length = int(self.headers.get("Content-Length", 0))
+            if length > MAX_BODY_BYTES:
+                self._reply(413, {
+                    "error": f"body {length} bytes exceeds the "
+                             f"{MAX_BODY_BYTES}-byte limit"
+                })
+                return
             payload = json.loads(self.rfile.read(length) or b"{}")
         except (ValueError, json.JSONDecodeError) as exc:
             self._reply(400, {"error": str(exc)})
             return
 
-        if self.path == "/v1/generate":
+        if self.path in ("/v1/generate", "/v1/refine"):
             engine = self.server.engine
             if engine is None:
                 self._reply(404, {"error": "no text-to-image engine configured"})
                 return
             try:
                 kwargs = self._parse(_GENERATE_FIELDS, payload, "prompt")
+                if self.path == "/v1/refine":
+                    for name, val in REFINE_DEFAULTS.items():
+                        kwargs.setdefault(name, val)
                 request = GenerationRequest(**kwargs)
             except (ValueError, TypeError) as exc:
                 self._reply(400, {"error": str(exc)})
@@ -157,6 +200,9 @@ class ServeHandler(BaseHTTPRequestHandler):
         t0 = time.monotonic()
         try:
             image = engine.generate(request, timeout=self.server.request_timeout)
+        except RequestExpired as exc:  # queue deadline: shed, retryable
+            self._reply(503, {"error": f"RequestExpired: {exc}"})
+            return
         except Exception as exc:  # engine/solver error -> 500 with message
             self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
             return

@@ -32,10 +32,73 @@ import jax
 import numpy as np
 
 
+def build_full_size_engine(args):
+    """Full-size SD-1.5-class pipeline with random bf16 weights — the exact
+    bench.py model (859.5M UNet, 512^2 previews) behind the serving queue,
+    plus the real-size CLIP text encoder (bench feeds random embeddings;
+    serving pays the tokenize+encode step).  Random weights: throughput
+    does not depend on weight values (bench.py:99-101)."""
+    import jax.numpy as jnp
+
+    from bench import random_params_like
+    from consolver_tpu.core import schedules
+    from consolver_tpu.models.clip_text import ClipTextConfig, ClipTextEncoder
+    from consolver_tpu.models.unet_2d import UNetConfig, UNet2DCondition
+    from consolver_tpu.models.vae import AutoencoderKL, VaeConfig
+    from consolver_tpu.pipelines.t2i import TextToImagePipeline
+    from consolver_tpu.policy import FactorNet, FactorNetConfig
+    from consolver_tpu.serve import InferenceEngine
+
+    dtype = jnp.bfloat16
+    ucfg, vcfg = UNetConfig.sd15(), VaeConfig.sd15()
+    tcfg = ClipTextConfig.sd15()
+    unet = UNet2DCondition(ucfg, dtype=dtype)
+    vae = AutoencoderKL(vcfg, dtype=dtype)
+    te = ClipTextEncoder(tcfg, dtype=dtype)
+    unet_params = random_params_like(
+        jax.eval_shape(
+            unet.init, jax.random.key(0), jnp.zeros((1, 64, 64, 4)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, tcfg.hidden_size)),
+        ), 1, dtype,
+    )
+    vae_params = random_params_like(
+        jax.eval_shape(vae.init, jax.random.key(0),
+                       jnp.zeros((1, 512, 512, 3)), jax.random.key(1)),
+        2, dtype,
+    )
+    te_params = random_params_like(
+        jax.eval_shape(te.init, jax.random.key(0),
+                       jnp.zeros((1, 77), jnp.int32)),
+        3, dtype,
+    )
+    fcfg = FactorNetConfig(order_dim=4, scaler_dim=0, num_actions=11,
+                           family="sd")
+    fnet = FactorNet(fcfg)
+    pipe = TextToImagePipeline(
+        unet, unet_params, te, te_params, vae, vae_params,
+        schedules.DiffusionSchedule.sd15(),
+        factor_net=fnet, factor_params=fnet.init(jax.random.key(4)),
+        tokenizer=None,
+    )
+    desc = "full-size random bf16"
+    if args.quantize:
+        pipe = pipe.quantize()  # int8 hybrid (level 0 bf16), bench's winner
+        desc += " -> int8 hybrid"
+    eng = InferenceEngine(
+        pipe, batch_size=args.batch_size,
+        latent_size=args.latent_size or 64,
+    )
+    return eng, desc
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pretrained", default=None)
     ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--full-size", action="store_true",
+                    help="full-size SD-1.5-class model with random bf16 "
+                         "weights (the bench.py config); implied by "
+                         "--quantize without --pretrained")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--latent-size", type=int, default=None,
                     help="default: 64 with --pretrained/--quantize, 8 smoke")
@@ -44,23 +107,50 @@ def main():
     ap.add_argument("--requests", type=int, default=64)
     ap.add_argument("--arrival-rate", type=float, default=10.0,
                     help="Poisson arrivals per second; 0 = submit all at once")
+    ap.add_argument("--arrival-rates", default=None,
+                    help="comma-separated sweep (e.g. 4,8,12,0); overrides "
+                         "--arrival-rate and reuses ONE warmed engine, one "
+                         "JSON line per rate")
     ap.add_argument("--deterministic", action="store_true")
     ap.add_argument("--verify-determinism", action="store_true",
                     help="before the load run: assert a deterministic "
                          "request is bit-equal solo vs inside a mixed batch")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--compile-cache", default=".jax_serve_cache",
+                    help="persistent XLA compile cache ('' disables) — "
+                         "repeat probe runs then skip the 1-3 min remote "
+                         "compiles")
     args = ap.parse_args()
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(args.compile_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from consolver_tpu.serve import GenerationRequest, InferenceEngine
-    from scripts.serve import build_t2i_engine
 
-    ns = argparse.Namespace(
-        pretrained=args.pretrained, factor_ckpt=None, quantize=args.quantize,
-        batch_size=args.batch_size, latent_size=args.latent_size
-        or (64 if (args.pretrained or args.quantize) else 8),
-        flush_ms=30.0, shard=False, tp=1, padded_max_steps=None,
-    )
-    engine, desc = build_t2i_engine(ns)
+    if args.pretrained:
+        from scripts.serve import build_t2i_engine
+
+        ns = argparse.Namespace(
+            pretrained=args.pretrained, factor_ckpt=None,
+            quantize=args.quantize, quantize_bits=8, replicas=0,
+            batch_size=args.batch_size,
+            latent_size=args.latent_size or 64,
+            flush_ms=30.0, shard=False, tp=1, padded_max_steps=None,
+        )
+        engine, desc = build_t2i_engine(ns)
+    elif args.quantize or args.full_size:
+        engine, desc = build_full_size_engine(args)
+    else:
+        from scripts.serve import build_t2i_engine
+
+        ns = argparse.Namespace(
+            pretrained=None, factor_ckpt=None, quantize=False,
+            quantize_bits=8, replicas=0, batch_size=args.batch_size,
+            latent_size=args.latent_size or 8,
+            flush_ms=30.0, shard=False, tp=1, padded_max_steps=None,
+        )
+        engine, desc = build_t2i_engine(ns)
     assert isinstance(engine, InferenceEngine)
     print(f"engine: {desc}  devices={jax.device_count()}", flush=True)
 
@@ -113,38 +203,50 @@ def main():
                 engine.shutdown()
                 sys.exit(1)
 
-    rng = np.random.default_rng(args.seed)
-    futs = []
-    t_start = time.monotonic()
-    lat_t0 = {}
-    for i in range(args.requests):
-        if args.arrival_rate > 0 and i:
-            time.sleep(float(rng.exponential(1.0 / args.arrival_rate)))
-        lat_t0[i] = time.monotonic()
-        futs.append((i, engine.submit(req(i))))
-    e2e = []
-    for i, f in futs:
-        f.result(timeout=1800)
-        e2e.append((time.monotonic() - lat_t0[i]) * 1e3)
-    elapsed = time.monotonic() - t_start
-
-    s = engine.stats()
-    e2e = np.sort(e2e)
-    out = {
-        "requests": args.requests,
-        "elapsed_s": round(elapsed, 2),
-        "throughput_img_s": round(args.requests / elapsed, 3),
-        "occupancy": round(s["mean_batch_occupancy"], 3),
-        "batches": s["batches"],
-        "queue_wait_ms_p50": s.get("queue_wait_ms_p50"),
-        "queue_wait_ms_p95": s.get("queue_wait_ms_p95"),
-        "execute_ms_p50": s.get("execute_ms_p50"),
-        "e2e_ms_p50": round(float(e2e[len(e2e) // 2]), 1),
-        "e2e_ms_p95": round(float(e2e[int(len(e2e) * 0.95)]), 1),
-    }
     import json
 
-    print(json.dumps(out))
+    rates = ([float(r) for r in args.arrival_rates.split(",")]
+             if args.arrival_rates else [args.arrival_rate])
+    for rate in rates:
+        # fresh percentile windows per rate (one engine, per-rate stats)
+        with engine._lock:
+            base = dict(engine._stats)
+            engine._wait_ms.clear()
+            engine._exec_ms.clear()
+        rng = np.random.default_rng(args.seed)
+        futs = []
+        t_start = time.monotonic()
+        lat_t0 = {}
+        for i in range(args.requests):
+            if rate > 0 and i:
+                time.sleep(float(rng.exponential(1.0 / rate)))
+            lat_t0[i] = time.monotonic()
+            futs.append((i, engine.submit(req(i))))
+        e2e = []
+        for i, f in futs:
+            f.result(timeout=1800)
+            e2e.append((time.monotonic() - lat_t0[i]) * 1e3)
+        elapsed = time.monotonic() - t_start
+
+        s = engine.stats()
+        e2e = np.sort(e2e)
+        batches = s["batches"] - base["batches"]
+        rows = s["batched_rows"] - base["batched_rows"]
+        out = {
+            "arrival_rate": rate,
+            "requests": args.requests,
+            "elapsed_s": round(elapsed, 2),
+            "throughput_img_s": round(args.requests / elapsed, 3),
+            "occupancy": round(rows / (batches * engine.batch_size), 3)
+            if batches else 0.0,
+            "batches": batches,
+            "queue_wait_ms_p50": s.get("queue_wait_ms_p50"),
+            "queue_wait_ms_p95": s.get("queue_wait_ms_p95"),
+            "execute_ms_p50": s.get("execute_ms_p50"),
+            "e2e_ms_p50": round(float(e2e[len(e2e) // 2]), 1),
+            "e2e_ms_p95": round(float(e2e[int(len(e2e) * 0.95)]), 1),
+        }
+        print(json.dumps(out), flush=True)
     engine.shutdown()
 
 

@@ -128,6 +128,7 @@ def build_t2i_engine(args):
         return make_replicas(
             pipe, InferenceEngine, replicas, batch_size=per,
             latent_size=latent, flush_ms=args.flush_ms,
+            max_wait_s=getattr(args, "max_wait_s", None),
             padded_max_steps=args.padded_max_steps,
         ), f"generate replicas={replicas} batch={per}/replica latent={latent}"
     mesh = _serving_mesh(args)
@@ -135,6 +136,7 @@ def build_t2i_engine(args):
     batch = per_shard * _data_shards(mesh)
     return InferenceEngine(
         pipe, batch_size=batch, latent_size=latent, flush_ms=args.flush_ms,
+        max_wait_s=getattr(args, "max_wait_s", None),
         mesh=mesh, padded_max_steps=args.padded_max_steps,
     ), f"generate batch={batch} latent={latent}" + (
         f" mesh={dict(mesh.shape)}" if mesh is not None else ""
@@ -183,7 +185,9 @@ def build_edit_engine(args):
         t5_tokenizer=t5_tok, clip_tokenizer=clip_tok,
         t5_max_length=args.t5_max_length,
         clip_max_length=4 if not args.pretrained else 77,
-        flush_ms=args.flush_ms, padded_max_steps=args.padded_max_steps,
+        flush_ms=args.flush_ms,
+        max_wait_s=getattr(args, "max_wait_s", None),
+        padded_max_steps=args.padded_max_steps,
     )
     replicas = _replica_count(args)
     if replicas:
@@ -262,6 +266,13 @@ def main():
                          "~1-3 min each, so the first request would "
                          "otherwise eat them)")
     ap.add_argument("--flush-ms", type=float, default=30.0)
+    ap.add_argument("--max-wait-s", type=float, default=None,
+                    help="queue deadline: requests still waiting this long "
+                         "when a batch forms are failed 503 (shed) instead "
+                         "of served stale; default = never expire")
+    ap.add_argument("--prewarm-refine", action="store_true",
+                    help="[sd] also compile the /v1/refine teacher program "
+                         "(40-step multistep-DPM) during --prewarm")
     ap.add_argument("--request-timeout", type=float, default=600.0,
                     help="per-request ceiling; first request of a new "
                          "(steps, cfg, solver) signature pays the remote "
@@ -315,22 +326,31 @@ def build_server(args):
 
         from consolver_tpu.serve import EditRequest, GenerationRequest
 
+        # (engine, request, expandable): --prewarm STEPS only re-steps the
+        # expandable defaults — the refine signature keeps its own count
         reqs = []
         if t2i_engine is not None:
-            reqs.append((t2i_engine, GenerationRequest(prompt="prewarm")))
+            reqs.append((t2i_engine, GenerationRequest(prompt="prewarm"),
+                         True))
+            if getattr(args, "prewarm_refine", False):
+                from consolver_tpu.serve.http import REFINE_DEFAULTS
+
+                reqs.append((t2i_engine, GenerationRequest(
+                    prompt="prewarm", **REFINE_DEFAULTS), False))
         if edit_engine is not None:
             gray = np.full(
                 (edit_engine.resolution, edit_engine.resolution, 3), 127,
                 np.uint8,
             )
             reqs.append(
-                (edit_engine, EditRequest(instruction="prewarm", image=gray))
+                (edit_engine, EditRequest(instruction="prewarm", image=gray),
+                 True)
             )
         t0 = _time.monotonic()
         n = 0
-        for eng, req in reqs:
+        for eng, req, expandable in reqs:
             warm = [req]
-            if args.prewarm:
+            if args.prewarm and expandable:
                 warm = [dataclasses.replace(req, num_inference_steps=s)
                         for s in args.prewarm]
             n += eng.prewarm(*warm, timeout=args.request_timeout)

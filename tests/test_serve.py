@@ -697,3 +697,208 @@ def test_edit_replicas_pin_transformer_params(edit_pipe):
         assert devs[0] != devs[1]
         got = group.generate(_edit_req(2, deterministic=True), timeout=300)
     np.testing.assert_array_equal(solo, got)
+
+
+# --------------------------------------------------------------- hardening
+class _SlowEngine(InferenceEngine):
+    """Test double: _execute sleeps so a batch can be caught in flight."""
+
+    EXEC_S = 0.8
+
+    def _execute(self, requests):
+        import time as _t
+
+        _t.sleep(self.EXEC_S)
+        return [np.zeros(SHAPE, np.uint8) for _ in requests]
+
+
+def test_shutdown_with_inflight_batch_completes_it(pipeline):
+    """shutdown() whose join times out mid-execute must not race the
+    worker's _pending: the in-flight batch completes normally, everything
+    still queued fails EngineShutDown once the worker exits
+    (serve/engine.py shutdown contract)."""
+    from consolver_tpu.serve import EngineShutDown
+
+    eng = _SlowEngine(pipeline, batch_size=1, latent_size=LATENT,
+                      flush_ms=1.0)
+    try:
+        fut_a = eng.submit(_req(0))  # enters _execute (batch_size=1)
+        import time as _t
+
+        _t.sleep(0.2)  # let the worker pick A up
+        fut_b = eng.submit(_req(1))  # still queued behind A
+        eng.shutdown(timeout=0.05)  # join expires while A is in flight
+        # A completes with a real result; B is failed by the worker drain
+        assert fut_a.result(timeout=10).shape == SHAPE
+        with pytest.raises(EngineShutDown):
+            fut_b.result(timeout=10)
+        with pytest.raises(EngineShutDown):
+            eng.submit(_req(2))
+    finally:
+        eng.shutdown(timeout=10)
+
+
+def test_request_deadline_expires_queued_requests(pipeline):
+    """max_wait_s: requests older than the deadline at batch-forming time
+    fail RequestExpired instead of being served stale."""
+    from consolver_tpu.serve import RequestExpired
+
+    eng = InferenceEngine(pipeline, batch_size=2, latent_size=LATENT,
+                          flush_ms=1.0, max_wait_s=0.0)
+    try:
+        with pytest.raises(RequestExpired):
+            eng.generate(_req(0), timeout=30)
+        assert eng.stats()["expired"] == 1
+        assert eng.stats()["batches"] == 0  # nothing reached _execute
+    finally:
+        eng.shutdown()
+
+
+def test_no_deadline_by_default(engine):
+    """max_wait_s=None (default): requests never expire."""
+    img = engine.generate(_req(0), timeout=300)
+    assert img.shape == SHAPE and engine.stats()["expired"] == 0
+
+
+def test_oversized_edit_image_rejected_pre_decode():
+    """/v1/edit bounds the decoded-pixel count from the PNG header BEFORE
+    decoding pixels (serve/http.py MAX_EDIT_PIXELS)."""
+    from PIL import Image
+
+    from consolver_tpu.serve.http import MAX_EDIT_PIXELS, _decode_image_b64
+
+    side = int(np.sqrt(MAX_EDIT_PIXELS)) + 8  # just over the pixel bound
+    buf = io.BytesIO()
+    Image.new("L", (side, side)).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    with pytest.raises(ValueError, match="exceeds"):
+        _decode_image_b64(b64)
+    # a normal image still decodes
+    buf2 = io.BytesIO()
+    Image.new("RGB", (20, 24)).save(buf2, format="PNG")
+    img = _decode_image_b64(base64.b64encode(buf2.getvalue()).decode())
+    assert img.shape == (24, 20, 3)
+
+
+def test_oversized_body_rejected_413(edit_engine):
+    """Bodies over MAX_BODY_BYTES are refused from the Content-Length
+    header, before any bytes are read into RAM."""
+    import http.client
+
+    from consolver_tpu.serve.http import MAX_BODY_BYTES
+
+    server = make_server(edit_engine=edit_engine, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    try:
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.putrequest("POST", "/v1/edit")
+        conn.putheader("Content-Length", str(MAX_BODY_BYTES + 1))
+        conn.endheaders()  # never send the body; the server must not wait
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert b"exceeds" in resp.read()
+        conn.close()
+    finally:
+        server.shutdown()
+
+
+def test_expired_request_maps_to_503(pipeline):
+    """A RequestExpired out of the engine surfaces as HTTP 503."""
+    eng = InferenceEngine(pipeline, batch_size=2, latent_size=LATENT,
+                          flush_ms=1.0, max_wait_s=0.0)
+    server = make_server(eng, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    try:
+        body = json.dumps({"prompt": "x", "num_inference_steps": 2}).encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/v1/generate", data=body, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=60)
+        assert err.value.code == 503
+        assert "RequestExpired" in err.value.read().decode()
+    finally:
+        server.shutdown()
+        eng.shutdown()
+
+
+# ------------------------------------------------------------- /v1/refine
+def test_refine_applies_teacher_defaults_and_shares_noise(pipeline):
+    """/v1/refine defaults to the teacher signature (40-step multistep-DPM,
+    gen_pretrain/gen.sh:1-2) and — the product loop's contract
+    (readme.md:135-150) — a refine sharing the preview's seed receives the
+    EXACT same initial noise (noise is a pure function of request seed)."""
+    captured = []
+
+    class _CapturePipe:
+        """Duck-typed pipeline capturing the engine's (noise, steps,
+        solver) per call."""
+
+        tokenizer = None
+        text_encoder = pipeline.text_encoder
+        unet = pipeline.unet
+
+        def __call__(self, key, ids, noise, num_inference_steps,
+                     guidance_scale, solver, deterministic_policy,
+                     padded_max_steps, record):
+            captured.append((np.asarray(noise), num_inference_steps, solver))
+            b = noise.shape[0]
+            img = jax.numpy.zeros((b, IMG, IMG, 3))
+            return img, None
+
+    eng = InferenceEngine(_CapturePipe(), batch_size=2, latent_size=LATENT,
+                          flush_ms=1.0)
+    server = make_server(eng, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        preview = json.dumps({
+            "prompt": "a corgi", "seed": 7, "num_inference_steps": 2,
+        }).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+                f"{base}/v1/generate", data=preview, method="POST"),
+                timeout=60) as r:
+            assert json.load(r)["seed"] == 7
+        refine = json.dumps({"prompt": "a corgi", "seed": 7}).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+                f"{base}/v1/refine", data=refine, method="POST"),
+                timeout=60) as r:
+            assert json.load(r)["seed"] == 7
+
+        (noise_p, steps_p, solver_p), (noise_r, steps_r, solver_r) = captured
+        assert (steps_p, solver_p) == (2, "consistencysolver")
+        assert (steps_r, solver_r) == (40, "multistep-dpm")
+        # same seed -> bit-identical initial noise: the refine continues
+        # the preview's exact trajectory start
+        np.testing.assert_array_equal(noise_p[0], noise_r[0])
+
+        # client overrides still win over the refine defaults
+        refine2 = json.dumps({
+            "prompt": "a corgi", "seed": 7, "num_inference_steps": 12,
+        }).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+                f"{base}/v1/refine", data=refine2, method="POST"),
+                timeout=60):
+            pass
+        assert captured[-1][1:] == (12, "multistep-dpm")
+    finally:
+        server.shutdown()
+        eng.shutdown()
+
+
+def test_refine_prewarm_signature():
+    """--prewarm-refine adds the non-expandable teacher signature to the
+    prewarm list (scripts/serve.py) without re-stepping it."""
+    from consolver_tpu.serve.http import REFINE_DEFAULTS
+
+    req = GenerationRequest(prompt="prewarm", **REFINE_DEFAULTS)
+    assert req.num_inference_steps == 40
+    assert req.solver == "multistep-dpm"
+    # distinct program from the preview default -> a second compile
+    assert req.program_key != GenerationRequest(prompt="prewarm").program_key
