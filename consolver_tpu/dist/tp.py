@@ -63,10 +63,38 @@ def _spec_for(path: str, rules: Rules) -> P:
     return P()  # replicate
 
 
+def _spec_for_leaf(path: str, leaf: Any, rules: Rules) -> P:
+    """Rule lookup that also understands quantized kernel layouts.
+
+    Rules are written against float ``.../kernel`` paths.  Quantized
+    modules (kernels/quant.py) replace that leaf with:
+      * int8:  ``kernel`` int8 [in, out] (same spec applies directly) +
+        ``kernel_scale`` f32 [out] — split iff the kernel's OUTPUT dim is;
+      * int4:  ``kernel_packed`` uint8 [in//2, out] (packing halves the
+        input dim, so the kernel's spec applies dim-for-dim) +
+        ``kernel_scale`` f32 [groups, out] (groups tile the input dim, so
+        again the kernel's spec applies dim-for-dim).
+    The divisibility guard in :func:`shard_params_by_rules` falls back to
+    replication when a halved/grouped dim no longer divides the axis."""
+    if path.endswith("/kernel_packed"):
+        return _spec_for(path[: -len("_packed")], rules)
+    if path.endswith("/kernel_scale"):
+        kspec = _spec_for(path[: -len("_scale")], rules)
+        ndim = len(np.shape(leaf))
+        if ndim == 2:  # int4 group-wise: [groups(in), out] — mirror the kernel
+            return kspec
+        # int8 per-channel: [out] — follows the kernel's output dim
+        out_axis = kspec[1] if len(kspec) > 1 else None
+        return P(out_axis) if out_axis is not None else P()
+    return _spec_for(path, rules)
+
+
 def shard_params_by_rules(mesh: Mesh, params: Any, rules: Rules) -> Any:
     """device_put every leaf according to the first matching rule
-    (replicated otherwise).  Dims that don't divide the axis size fall back
-    to replication for that leaf."""
+    (replicated otherwise; quantized ``kernel_packed``/``kernel_scale``
+    leaves inherit the matching float-kernel rule — see
+    :func:`_spec_for_leaf`).  Dims that don't divide the axis size fall
+    back to replication for that leaf."""
     axis_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -76,7 +104,7 @@ def shard_params_by_rules(mesh: Mesh, params: Any, rules: Rules) -> Any:
         path_str = "/".join(
             p.key if hasattr(p, "key") else str(p) for p in path
         )
-        spec = _spec_for(path_str, rules)
+        spec = _spec_for_leaf(path_str, leaf, rules)
         # divisibility guard
         ok = True
         for dim, axis in enumerate(spec):

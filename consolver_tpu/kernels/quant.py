@@ -10,8 +10,10 @@ Scheme — the standard symmetric dynamic-activation recipe:
   * weights: static per-output-channel int8, scale = max|w| / 127
     (quantized once at load time by :func:`quantize_params_like`);
   * activations: dynamic symmetric int8 — per-token (rows) for matmuls,
-    per-tensor for convs — quantized on the fly; XLA fuses the
-    round/clip/scale into neighbouring ops;
+    per-SAMPLE for convs — quantized on the fly; XLA fuses the
+    round/clip/scale into neighbouring ops.  Scales never reduce over the
+    batch axis: serving requires a request's output to be independent of
+    its batchmates (see :func:`_quantize_act`);
   * accumulation in int32 (``preferred_element_type``), dequantized by
     ``act_scale * weight_scale`` into the module's compute dtype.
 
@@ -44,12 +46,22 @@ def quantize_weight(w: jax.Array, out_axis: int = -1) -> Tuple[jax.Array, jax.Ar
 
 def _quantize_act(x: jax.Array, per_token: bool) -> Tuple[jax.Array, jax.Array]:
     """Dynamic symmetric activation quant; scale broadcasts against the
-    int32 accumulator output."""
+    int32 accumulator output.
+
+    ``per_token=True``: one scale per trailing-dim row (finest).
+    ``per_token=False``: one scale PER SAMPLE (reduce all axes but batch).
+    Never a whole-tensor scale: that would couple a row's rounding to its
+    batchmates' values, breaking the serving determinism contract (a
+    request's output must be a pure function of its own inputs however the
+    batch is composed — measured on chip: a per-tensor conv scale moved
+    mixed-batch outputs by 1 uint8 step vs solo, scripts/probe_serving.py
+    --verify-determinism).  Per-sample is also strictly finer-grained."""
     x32 = x.astype(jnp.float32)
     if per_token:
         amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
     else:
-        amax = jnp.max(jnp.abs(x32))
+        amax = jnp.max(jnp.abs(x32), axis=tuple(range(1, x32.ndim)),
+                       keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
     return xq, scale
@@ -217,7 +229,8 @@ def int8_attention(
     pq = jnp.clip(jnp.round(probs / p_scale), -127, 127).astype(jnp.int8)
 
     v32 = v.astype(jnp.float32)
-    v_amax = jnp.max(jnp.abs(v32), axis=(0, 1), keepdims=True)  # [1,1,H,D]
+    # Per-sample (no batch reduction — batch-composition independence).
+    v_amax = jnp.max(jnp.abs(v32), axis=1, keepdims=True)  # [B,1,H,D]
     v_scale = jnp.maximum(v_amax, 1e-8) / 127.0
     vq = jnp.clip(jnp.round(v32 / v_scale), -127, 127).astype(jnp.int8)
 

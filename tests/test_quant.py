@@ -542,3 +542,45 @@ def test_int4_checkpoint_roundtrip(tmp_path):
     out_b, _ = q4b(jax.random.key(4), t5_ids, clip_ids, ref, noise,
                    num_inference_steps=2, solver="euler", decode=False)
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_batch_composition_independence():
+    """A sample's quantized output must be a pure function of its own
+    inputs, bit-equal whether it runs solo or inside a mixed batch — the
+    serving determinism contract (measured on chip: a per-TENSOR conv
+    activation scale moved mixed-batch outputs by one uint8 step vs solo;
+    fixed by per-sample scales in _quantize_act)."""
+    from consolver_tpu.kernels.quant import int8_attention
+
+    key = jax.random.key(11)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+    # conv: row 0 alone vs row 0 next to a large-magnitude batchmate
+    x0 = jax.random.normal(k1, (1, 8, 8, 16))
+    x_big = 50.0 * jax.random.normal(k2, (1, 8, 8, 16))
+    kern = jax.random.normal(k3, (3, 3, 16, 16))
+    kq, ks = quantize_weight(kern, out_axis=-1)
+    solo = int8_conv(x0, kq, ks, channel_pad=0)
+    mixed = int8_conv(jnp.concatenate([x0, x_big]), kq, ks, channel_pad=0)[:1]
+    np.testing.assert_array_equal(np.asarray(solo), np.asarray(mixed))
+
+    # dense (per-token scales are already row-local; pin it anyway)
+    xd0 = jax.random.normal(k4, (1, 6, 16))
+    xd_big = 50.0 * jax.random.normal(k5, (1, 6, 16))
+    dk = jax.random.normal(k3, (16, 8))
+    dkq, dks = quantize_weight(dk, out_axis=-1)
+    solo_d = int8_dense(xd0, dkq, dks)
+    mixed_d = int8_dense(jnp.concatenate([xd0, xd_big]), dkq, dks)[:1]
+    np.testing.assert_array_equal(np.asarray(solo_d), np.asarray(mixed_d))
+
+    # attention (unwired, but keep the contract)
+    q = jax.random.normal(k1, (1, 4, 2, 8))
+    kk = jax.random.normal(k2, (1, 4, 2, 8))
+    v = jax.random.normal(k4, (1, 4, 2, 8))
+    big = (50.0 * jax.random.normal(k5, (1, 4, 2, 8)),) * 3
+    solo_a = int8_attention(q, kk, v)
+    mixed_a = int8_attention(
+        jnp.concatenate([q, big[0]]), jnp.concatenate([kk, big[1]]),
+        jnp.concatenate([v, big[2]]),
+    )[:1]
+    np.testing.assert_array_equal(np.asarray(solo_a), np.asarray(mixed_a))
