@@ -28,6 +28,15 @@ class CheckpointMixin:
         """
         from consolver_tpu.dist.mesh import assert_params_synced
 
+        batches = iter(batches)
+        # Resumed run: fast-forward the (deterministic) data stream past the
+        # batches the interrupted run already consumed — one batch per step
+        # — so a resume replays the uninterrupted run exactly (the
+        # reference's accelerate resume skips dataloader batches the same
+        # way, train_ppo.py:290-311).
+        for _ in range(self.global_step):
+            next(batches, None)
+
         try:
             for batch in batches:
                 if self.global_step >= self.config.max_train_steps:

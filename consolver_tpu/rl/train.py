@@ -124,7 +124,14 @@ class PPOTrainer(CheckpointMixin):
             )
         else:
             self._decode_and_reward = jax.jit(self._decode_and_reward_impl)
-        self._host_rng = random.Random(config.seed)
+
+    def _group_rng(self) -> random.Random:
+        """Per-step host RNG for the group repeat draw, derived from
+        (seed, global_step) like :meth:`_num_inference_for_step` — NOT a
+        stateful stream, so a resumed run replays the exact draws of an
+        uninterrupted one (train_ppo.py:290-311 resume semantics) and every
+        data-parallel host agrees without a broadcast."""
+        return random.Random(f"{self.config.seed}-group-{self.global_step}")
 
     # ------------------------------------------------------------------
     def _decode_and_reward_impl(self, vae_params, pred_latents, target_latents):
@@ -166,7 +173,7 @@ class PPOTrainer(CheckpointMixin):
         ``latent`` (teacher final latent) [B, h, w, c], and ``prompt_ids``
         [B, S]  (group-repeat happens here, train_ppo.py:337)."""
         cfg = self.config
-        batch = repeat_random_sample_groups(batch, self._host_rng, self.num_groups)
+        batch = repeat_random_sample_groups(batch, self._group_rng(), self.num_groups)
         num_inference = self._num_inference_for_step(self.global_step)
 
         if self.mesh is not None:

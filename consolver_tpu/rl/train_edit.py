@@ -88,7 +88,6 @@ class EditPPOTrainer(CheckpointMixin):
             pipeline.vae_params = meshlib.replicate(mesh, pipeline.vae_params)
         else:
             self._update = jax.jit(update)
-        self._host_rng = random.Random(config.seed)
 
     @property
     def factor_net(self):
@@ -100,12 +99,18 @@ class EditPPOTrainer(CheckpointMixin):
             self.config.min_inference_steps, self.config.max_inference_steps
         )
 
+    def _group_rng(self) -> random.Random:
+        """Per-step host RNG derived from (seed, global_step) — not a
+        stateful stream, so resume replays an uninterrupted run's draws
+        exactly (see rl/train.PPOTrainer._group_rng)."""
+        return random.Random(f"{self.config.seed}-group-{self.global_step}")
+
     def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
         """Host batch keys: ``noise`` [B,h,w,16] latent noise, ``latent``
         (teacher final latents) [B,h,w,16], ``ref_image`` [B,H,W,3] in
         [-1,1], ``t5_ids`` [B,S], ``clip_ids`` [B,S]."""
         cfg = self.config
-        batch = repeat_random_sample_groups(batch, self._host_rng, self.num_groups)
+        batch = repeat_random_sample_groups(batch, self._group_rng(), self.num_groups)
         num_inference = self._num_inference_for_step(self.global_step)
         key = jax.random.fold_in(jax.random.key(cfg.seed), self.global_step)
         # distinct streams for the baseline vs policy rollouts: the Euler

@@ -21,6 +21,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU plugin ignores the plain env override; CPU smoke runs
+    # need the config pin (see scripts/train_sd15.py)
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 

@@ -241,6 +241,82 @@ def test_trainer_end_to_end(tmp_path):
     assert all(jax.tree.leaves(chex_equal))
 
 
+def test_resume_replays_uninterrupted_run(tmp_path):
+    """Kill/resume parity (train_ppo.py:290-311): a run checkpointed at
+    step 3 and resumed must reach step 6 with params + opt_state BIT-EQUAL
+    to an uninterrupted 6-step run over the same data stream.  Exercises
+    all three resume-determinism pieces: fit()'s data fast-forward, the
+    per-step group RNG, and the (seed, global_step)-derived rollout key."""
+    from tests.test_pipeline import make_tiny_stack
+    from consolver_tpu.pipelines.t2i import TextToImagePipeline
+    from consolver_tpu.rewards.registry import make_reward_fn
+    from consolver_tpu.rl.train import PPOTrainer, TrainConfig
+
+    (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()
+    sched = schedules.DiffusionSchedule.sd15()
+    fnet = FactorNet(
+        FactorNetConfig(order_dim=4, scaler_dim=0, num_actions=11, family="sd")
+    )
+
+    def make_pipe():
+        return TextToImagePipeline(
+            unet, unet_params, te, te_params, vae, vae_params, sched,
+            factor_net=fnet, factor_params=fnet.init(jax.random.key(0)),
+        )
+
+    def batches():
+        # index-dependent content: any stream misalignment after resume
+        # changes the consumed data and breaks bit-equality
+        i = 0
+        while True:
+            rng = np.random.default_rng(100 + i)
+            yield {
+                "noise": rng.standard_normal((4, 8, 8, 4)).astype(np.float32),
+                "latent": rng.standard_normal((4, 8, 8, 4)).astype(np.float32),
+                "prompt_ids": rng.integers(1, 50, (4, 4)).astype(np.int64),
+            }
+            i += 1
+
+    def config(out, max_steps, ckpt_steps=100):
+        return TrainConfig(
+            max_train_steps=max_steps, min_inference_steps=2,
+            max_inference_steps=4, output_dir=str(out), seed=7,
+            checkpointing_steps=ckpt_steps,
+            ppo=PPOConfig(ppo_epochs=1, learning_rate=1e-3),
+        )
+
+    # uninterrupted control: 6 steps straight through
+    control = PPOTrainer(
+        make_pipe(), make_reward_fn("image_psnr"),
+        config(tmp_path / "a", 6),
+    )
+    control.fit(batches())
+    assert control.global_step == 6
+
+    # victim: 3 steps, checkpoint, "crash"; a FRESH trainer resumes to 6
+    victim = PPOTrainer(
+        make_pipe(), make_reward_fn("image_psnr"),
+        config(tmp_path / "b", 3, ckpt_steps=3),
+    )
+    victim.fit(batches())
+    assert victim.global_step == 3
+
+    resumed = PPOTrainer(
+        make_pipe(), make_reward_fn("image_psnr"),
+        config(tmp_path / "b", 6),
+    )
+    assert resumed.resume_from_checkpoint("latest")
+    assert resumed.global_step == 3
+    resumed.fit(batches())
+    assert resumed.global_step == 6
+
+    for got, want in zip(
+        jax.tree.leaves((resumed.params, resumed.opt_state)),
+        jax.tree.leaves((control.params, control.opt_state)),
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_num_inference_deterministic_across_hosts():
     from consolver_tpu.rl.train import PPOTrainer, TrainConfig
 
