@@ -59,31 +59,54 @@ class FluxKontextPipeline:
         self.vae_scaling_factor = vae_scaling_factor
         self.vae_shift_factor = vae_shift_factor
         self._denoise_cache = {}
+        self._jit_cache = {}
 
     # ------------------------------------------------------------------
+    # Each encode/decode below runs as ONE jitted program (cached per
+    # instance/shape): serving calls them outside any enclosing jit, and an
+    # eager flax apply dispatches every op as its own device RPC through
+    # the tunneled TPU backend — seconds of round-trips per batch for the
+    # T5/VAE stacks.  Inside a trainer's jitted step the nested jit inlines.
     def encode_prompt(self, t5_ids, clip_ids):
         """(T5 joint embeddings, CLIP pooled)  — edit_ppo/denoise_diffusion.py:35-41."""
-        prompt_embeds = self.t5.apply(self.t5_params, t5_ids)
-        _, pooled = self.clip.apply(self.clip_params, clip_ids, return_pooled=True)
-        return prompt_embeds, pooled
+        if "encode_prompt" not in self._jit_cache:
+            self._jit_cache["encode_prompt"] = jax.jit(
+                lambda tp, cp, tids, cids: (
+                    self.t5.apply(tp, tids),
+                    self.clip.apply(cp, cids, return_pooled=True)[1],
+                )
+            )
+        return self._jit_cache["encode_prompt"](
+            self.t5_params, self.clip_params, t5_ids, clip_ids
+        )
 
     def encode_image(self, image):
         """Reference image [B,H,W,3] in [-1,1] -> scaled latents NHWC."""
-        mean, _ = self.vae.apply(self.vae_params, image, method=self.vae.encode)
-        return (mean - self.vae_shift_factor) * self.vae_scaling_factor
+        if "encode_image" not in self._jit_cache:
+            def _enc(vp, img):
+                mean, _ = self.vae.apply(vp, img, method=self.vae.encode)
+                return (mean - self.vae_shift_factor) * self.vae_scaling_factor
+
+            self._jit_cache["encode_image"] = jax.jit(_enc)
+        return self._jit_cache["encode_image"](self.vae_params, image)
 
     def decode_latents(self, latents, chunk=None):
         """``chunk=k`` micro-batches the decode inside one program
         (models/vae.chunked_apply) — bounds decoder activation HBM at large
         train/serving batches."""
-        from consolver_tpu.models.vae import chunked_apply
+        if ("decode", chunk) not in self._jit_cache:
+            from consolver_tpu.models.vae import chunked_apply
 
-        x = latents / self.vae_scaling_factor + self.vae_shift_factor
-        img = chunked_apply(
-            lambda c: self.vae.apply(self.vae_params, c, method=self.vae.decode),
-            x, chunk,
-        )
-        return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+            def _dec(vp, lat):
+                x = lat / self.vae_scaling_factor + self.vae_shift_factor
+                img = chunked_apply(
+                    lambda c: self.vae.apply(vp, c, method=self.vae.decode),
+                    x, chunk,
+                )
+                return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+
+            self._jit_cache[("decode", chunk)] = jax.jit(_dec)
+        return self._jit_cache[("decode", chunk)](self.vae_params, latents)
 
     def quantize(self, bits: int = 8) -> "FluxKontextPipeline":
         """Quantized serving copy.  ``bits=8``: W8A8 int8 DiT stream-block

@@ -393,9 +393,24 @@ class TextToImagePipeline:
         self.steps_offset = steps_offset
         self.tokenizer = tokenizer
         self._denoise_cache = {}
+        self._decode_cache = {}
         self._encode = encode_prompt_fn(
             lambda p, ids: self.text_encoder.apply(p, ids)
         )
+
+    def decode_latents(self, latents, chunk=None):
+        """Jitted scaled-latents -> [0,1] images (models/vae.decode_latents
+        in ONE compiled program).  The jit matters beyond fusion: serving
+        calls this outside any enclosing jit, and an eager decode dispatches
+        every decoder op as its own device RPC — measured ~3 s/batch of
+        tunnel round-trips at SD-1.5 512^2 batch 8 vs ~0.2 s compiled."""
+        if chunk not in self._decode_cache:
+            from consolver_tpu.models.vae import decode_latents as _decode
+
+            self._decode_cache[chunk] = jax.jit(
+                lambda vp, lat: _decode(self.vae, vp, lat, chunk=chunk)
+            )
+        return self._decode_cache[chunk](self.vae_params, latents)
 
     def _unet_apply(self, params, latents, t, context):
         return self.unet.apply(params, latents, t, context)
@@ -591,7 +606,4 @@ class TextToImagePipeline:
             )
         if not decode:
             return latents, traj
-        from consolver_tpu.models.vae import decode_latents
-
-        images = decode_latents(self.vae, self.vae_params, latents)
-        return images, traj
+        return self.decode_latents(latents), traj

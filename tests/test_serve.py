@@ -835,19 +835,37 @@ def test_refine_applies_teacher_defaults_and_shares_noise(pipeline):
     captured = []
 
     class _CapturePipe:
-        """Duck-typed pipeline capturing the engine's (noise, steps,
-        solver) per call."""
+        """Duck-typed pipeline recording the engine's STATIC program args
+        (steps, solver) at trace time and echoing the initial noise through
+        the program output — the engine traces the whole hot path into one
+        fused program now, so per-call noise values can't be captured
+        host-side; noise identity is asserted via output bit-equality
+        instead (the output below is a pure function of the noise only)."""
 
         tokenizer = None
         text_encoder = pipeline.text_encoder
         unet = pipeline.unet
+        _denoise_cache = {}
+        # the engine passes these as jit arguments (engine._PARAM_ATTRS)
+        unet_params = text_params = vae_params = factor_params = None
+
+        def denoise_fn(self, *a, **k):  # engine pre-builds eagerly
+            return None
+
+        def padded_denoise_fn(self, *a, **k):
+            return None
 
         def __call__(self, key, ids, noise, num_inference_steps,
                      guidance_scale, solver, deterministic_policy,
                      padded_max_steps, record):
-            captured.append((np.asarray(noise), num_inference_steps, solver))
+            captured.append((num_inference_steps, solver))
             b = noise.shape[0]
-            img = jax.numpy.zeros((b, IMG, IMG, 3))
+            # [0,1) image that injectively encodes the noise's first 3
+            # channels: equal outputs <=> equal initial noise
+            img = jax.numpy.clip(
+                jax.numpy.tile(noise[:, :, :, :3], (1, 2, 2, 1)) * 0.05 + 0.5,
+                0.0, 1.0,
+            )
             return img, None
 
     eng = InferenceEngine(_CapturePipe(), batch_size=2, latent_size=LATENT,
@@ -864,19 +882,23 @@ def test_refine_applies_teacher_defaults_and_shares_noise(pipeline):
         with urllib.request.urlopen(urllib.request.Request(
                 f"{base}/v1/generate", data=preview, method="POST"),
                 timeout=60) as r:
-            assert json.load(r)["seed"] == 7
+            body_p = json.load(r)
+            assert body_p["seed"] == 7
         refine = json.dumps({"prompt": "a corgi", "seed": 7}).encode()
         with urllib.request.urlopen(urllib.request.Request(
                 f"{base}/v1/refine", data=refine, method="POST"),
                 timeout=60) as r:
-            assert json.load(r)["seed"] == 7
+            body_r = json.load(r)
+            assert body_r["seed"] == 7
 
-        (noise_p, steps_p, solver_p), (noise_r, steps_r, solver_r) = captured
+        (steps_p, solver_p), (steps_r, solver_r) = captured
         assert (steps_p, solver_p) == (2, "consistencysolver")
         assert (steps_r, solver_r) == (40, "multistep-dpm")
         # same seed -> bit-identical initial noise: the refine continues
-        # the preview's exact trajectory start
-        np.testing.assert_array_equal(noise_p[0], noise_r[0])
+        # the preview's exact trajectory start.  The capture pipe's output
+        # is a pure function of the noise (steps/solver unused), so equal
+        # pngs <=> equal initial noise.
+        assert body_p["image_png_b64"] == body_r["image_png_b64"]
 
         # client overrides still win over the refine defaults
         refine2 = json.dumps({
@@ -886,7 +908,7 @@ def test_refine_applies_teacher_defaults_and_shares_noise(pipeline):
                 f"{base}/v1/refine", data=refine2, method="POST"),
                 timeout=60):
             pass
-        assert captured[-1][1:] == (12, "multistep-dpm")
+        assert captured[-1] == (12, "multistep-dpm")
     finally:
         server.shutdown()
         eng.shutdown()
