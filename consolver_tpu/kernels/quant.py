@@ -243,17 +243,21 @@ def int8_attention(
 
 # ---------------------------------------------------------------------------
 # Int4 weight-only (W4A16) path — a MEMORY feature, not a speed feature.
+# All numbers below MEASURED on a v5e chip (scripts/probe_int4_flux.py).
 #
 # The 11.9B FLUX-Kontext DiT is 23.8GB bf16 (needs >=2 chips) and 12.1GB
-# int8 (fits one v5e chip, measured in scripts/probe_flux_serving.py).
-# Packing weights to 4 bits brings it to ~6.3GB: ~2x faster host->device
-# transfer through the tunnel (the 12GB int8 tree took 174s) and ~6GB of
-# freed HBM for activations (1024^2 edit-training batch 1 RESOURCE_EXHAUSTs
-# at int8).  Compute stays in the module dtype (bf16): the packed nibbles
-# are unpacked + group-dequantized right before the dot, which is an
-# elementwise prologue XLA fuses; at FLUX serving shapes (8704 tokens) the
-# matmuls are compute-bound so the speed is the bf16 MXU rate — slower
-# than W8A8, choose int8 when speed matters and int4 when memory does.
+# int8 (fits one v5e chip, scripts/probe_flux_serving.py).  Packing
+# weights to 4 bits brings it to 6.56GB: ~2x less host->device transfer
+# (12s vs the int8 tree's 174s through the tunnel — different tunnel
+# days, but the byte count alone halves it) and ~6GB of freed HBM for
+# activations.  Compute stays in the module dtype (bf16): the packed
+# nibbles are unpacked + group-dequantized right before the dot, an
+# elementwise prologue XLA fuses; at the 1024^2 Kontext shape the steady
+# forward measured 1734 ms (~120 TFLOP/s effective) vs int8's 1368 ms —
+# int4 is 1.27x SLOWER per forward.  What the freed HBM buys: BATCH 2 at
+# 1024^2 fits one chip (int8 cannot), 3316 ms/fwd = 1658 ms/image, the
+# best int4 per-image rate but still behind int8 b=1.  Choose int8 when
+# speed matters, int4 when memory/load-time does.
 #
 # Scheme: symmetric int4 in [-7, 7], group-wise scales along the INPUT
 # (contraction) axis, group_size=128 (the industry-standard W4 recipe —

@@ -5,13 +5,15 @@ The int8 path fits the 11.9B DiT in ~12.1GB (probe_flux_serving.py:
 steady fwd 1368 ms at the 1024^2 Kontext shape, ~6.8 s per 5-step edit;
 12GB host->device transfer took 174 s through the tunnel).  The packed
 int4 path (FluxConfig.quant_int4, kernels/quant.py) halves the weight
-bytes (~6.3GB): this probe measures what that buys on a real chip —
+bytes: this probe measures what that buys on a real chip.
 
-  1. weight bytes + host->device transfer time (expect ~2x faster);
-  2. steady forward at the 1024^2 Kontext shape (expect SLOWER than int8:
-     compute runs at the bf16 MXU rate; int4 is the MEMORY config);
-  3. whether the freed ~6GB lets BATCH 2 fit at the 1024^2 Kontext shape
-     (int8 serving is batch 1 at this shape).
+MEASURED (v5e, 2026-08-19 — don't re-run without cause):
+  1. 11.99B params = 6.56 GB packed (int8: 12.12 GB); transfer 12 s;
+  2. b=1 steady fwd 1734 ms (~120 TFLOP/s effective) vs int8 1368 ms —
+     int4 is 1.27x SLOWER (W4A16 computes at the bf16 MXU rate; the
+     unpack+dequant prologue costs on top).  5-step edit ~= 8.7 s;
+  3. BATCH 2 at 1024^2 FITS one chip (int8 cannot): 3316 ms/fwd =
+     1658 ms/image — the best int4 per-image rate, still behind int8 b=1.
 
 Run on the TPU chip:  python scripts/probe_int4_flux.py
 """

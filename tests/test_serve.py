@@ -701,11 +701,11 @@ def test_edit_replicas_pin_transformer_params(edit_pipe):
 
 # --------------------------------------------------------------- hardening
 class _SlowEngine(InferenceEngine):
-    """Test double: _execute sleeps so a batch can be caught in flight."""
+    """Test double: _dispatch sleeps so a batch can be caught in flight."""
 
     EXEC_S = 0.8
 
-    def _execute(self, requests):
+    def _dispatch(self, requests):
         import time as _t
 
         _t.sleep(self.EXEC_S)
@@ -722,7 +722,7 @@ def test_shutdown_with_inflight_batch_completes_it(pipeline):
     eng = _SlowEngine(pipeline, batch_size=1, latent_size=LATENT,
                       flush_ms=1.0)
     try:
-        fut_a = eng.submit(_req(0))  # enters _execute (batch_size=1)
+        fut_a = eng.submit(_req(0))  # enters _dispatch (batch_size=1)
         import time as _t
 
         _t.sleep(0.2)  # let the worker pick A up
