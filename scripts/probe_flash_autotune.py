@@ -14,6 +14,15 @@ purely the inner-loop tile.
 
 Prior measured dead ends (do NOT retry): bf16-dot inputs (bit-identical,
 +1%), int8 QK/PV (0.71x), no-mask specialization (+1.6%).
+
+MEASURED (v5e, 2026-08-19) — the sweep + an n_iter=20 head-to-head
+(docs/ROADMAP.md): the default (512, 512) is at the practical optimum at
+both shapes; (256, 512) is within noise at the serve shape (103.6 vs
+102.9 TF/s) and behind at the train shape (87.3 vs 88.6).  NOTE the
+n_iter=10 sweep mis-ranks near-equal configs — per-dispatch tunnel
+overhead (~0.9 ms/iter at n_iter=10) swamps <10% kernel deltas; rank
+candidates coarsely here, then confirm winners at timed_chain's default
+n_iter=20.
 """
 
 from __future__ import annotations
