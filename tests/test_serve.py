@@ -712,6 +712,46 @@ class _SlowEngine(InferenceEngine):
         return [np.zeros(SHAPE, np.uint8) for _ in requests]
 
 
+def test_dispatch_overlaps_fetch(pipeline):
+    """The pipelining contract (serve/engine._BatchingEngine): the worker
+    dispatches batch N+1 while batch N is still being fetched.  Pinned
+    with events (no timing sleeps): batch A's fetch BLOCKS until batch
+    B's dispatch has been observed — if dispatch waited on fetch (the
+    old serial engine), this would deadlock (joined via timeout)."""
+    import threading as _th
+
+    dispatched = []
+    second_dispatch = _th.Event()
+    release_fetch = _th.Event()
+
+    class _OverlapEngine(InferenceEngine):
+        def _dispatch(self, requests):
+            dispatched.append(requests[0].seed)
+            if len(dispatched) >= 2:
+                second_dispatch.set()
+            return [np.zeros(SHAPE, np.uint8) for _ in requests]
+
+        def _fetch(self, images, n):  # instance override of the static
+            release_fetch.wait(timeout=30)
+            return images[:n]
+
+    eng = _OverlapEngine(pipeline, batch_size=1, latent_size=LATENT,
+                         flush_ms=1.0)
+    try:
+        fut_a = eng.submit(_req(0))
+        fut_b = eng.submit(_req(1))
+        # B must dispatch while A sits unfetched (fetch is blocked)
+        assert second_dispatch.wait(timeout=10), \
+            "batch B never dispatched while batch A's fetch was pending"
+        release_fetch.set()
+        assert fut_a.result(timeout=30).shape == SHAPE
+        assert fut_b.result(timeout=30).shape == SHAPE
+        assert eng.stats()["batches"] == 2
+    finally:
+        release_fetch.set()
+        eng.shutdown(timeout=10)
+
+
 def test_shutdown_with_inflight_batch_completes_it(pipeline):
     """shutdown() whose join times out mid-execute must not race the
     worker's _pending: the in-flight batch completes normally, everything
