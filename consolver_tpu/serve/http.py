@@ -18,6 +18,11 @@ Endpoints
                           A request's initial noise derives only from its
                           ``seed``, so refining with the preview's seed
                           continues the exact same trajectory start.
+``POST /v1/edit/refine``  the edit-family twin: same body as ``/v1/edit`` but
+                          defaulting to the reference's full-quality Kontext
+                          signature (28-step Euler FM at guidance 2.5,
+                          edit_ppo/edit_pretrain/generate.py:28-29).  Same
+                          seed-sharing contract as ``/v1/refine``.
 
 Limits: bodies over ``MAX_BODY_BYTES`` are rejected 413 before being read;
 ``image_png_b64`` images over ``MAX_EDIT_PIXELS`` are rejected 400 before
@@ -63,6 +68,15 @@ MAX_EDIT_PIXELS = 16 * 1024 * 1024
 # per-field.  Sharing the preview's seed reproduces the preview's exact
 # initial noise (engine noise is a pure function of seed).
 REFINE_DEFAULTS = {"num_inference_steps": 40, "solver": "multistep-dpm"}
+
+# /v1/edit/refine: the edit family's full-quality signature — the
+# reference generates its Kontext teacher data with 28-step Euler FM at
+# guidance 2.5 (edit_ppo/edit_pretrain/generate.py:28-29)
+EDIT_REFINE_DEFAULTS = {
+    "num_inference_steps": 28,
+    "solver": "euler",
+    "guidance_scale": 2.5,
+}
 
 def _json_bool(value) -> bool:
     """Strict JSON-boolean parse: bool("false") is True, so a permissive
@@ -177,13 +191,16 @@ class ServeHandler(BaseHTTPRequestHandler):
             except (ValueError, TypeError) as exc:
                 self._reply(400, {"error": str(exc)})
                 return
-        elif self.path == "/v1/edit":
+        elif self.path in ("/v1/edit", "/v1/edit/refine"):
             engine = self.server.edit_engine
             if engine is None:
                 self._reply(404, {"error": "no edit engine configured"})
                 return
             try:
                 kwargs = self._parse(_EDIT_FIELDS, payload, "instruction")
+                if self.path == "/v1/edit/refine":
+                    for name, val in EDIT_REFINE_DEFAULTS.items():
+                        kwargs.setdefault(name, val)
                 if "image_png_b64" not in payload:
                     raise ValueError("missing required field 'image_png_b64'")
                 kwargs["image"] = _decode_image_b64(payload["image_png_b64"])

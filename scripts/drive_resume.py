@@ -80,6 +80,9 @@ def prepare(root: str, tiny: bool, n_samples: int) -> None:
             if os.path.isdir(dst):
                 continue
             params = random_params_like(shapes, i + 1, jnp.float32)
+            # numpy payloads, like scripts/convert_checkpoints.py:176 —
+            # orbax restores numpy without a sharding-bearing template
+            params = jax.tree.map(np.asarray, params)
             ocp.PyTreeCheckpointer().save(dst, params)
             with open(dst + "_config.json", "w") as f:
                 json.dump(dataclasses.asdict(cfg), f)

@@ -270,9 +270,11 @@ def main():
                     help="queue deadline: requests still waiting this long "
                          "when a batch forms are failed 503 (shed) instead "
                          "of served stale; default = never expire")
-    ap.add_argument("--prewarm-refine", action="store_true",
-                    help="[sd] also compile the /v1/refine teacher program "
-                         "(40-step multistep-DPM) during --prewarm")
+    ap.add_argument(
+        "--prewarm-refine", dest="prewarm_refine", action="store_true",
+        help="also compile the refine teacher program(s) during --prewarm: "
+             "/v1/refine (40-step multistep-DPM) on the sd engine and/or "
+             "/v1/edit/refine (28-step Euler FM, cfg 2.5) on the edit engine")
     ap.add_argument("--request-timeout", type=float, default=600.0,
                     help="per-request ceiling; first request of a new "
                          "(steps, cfg, solver) signature pays the remote "
@@ -346,6 +348,12 @@ def build_server(args):
                 (edit_engine, EditRequest(instruction="prewarm", image=gray),
                  True)
             )
+            if getattr(args, "prewarm_refine", False):
+                from consolver_tpu.serve.http import EDIT_REFINE_DEFAULTS
+
+                reqs.append((edit_engine, EditRequest(
+                    instruction="prewarm", image=gray,
+                    **EDIT_REFINE_DEFAULTS), False))
         t0 = _time.monotonic()
         n = 0
         for eng, req, expandable in reqs:

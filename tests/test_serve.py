@@ -20,6 +20,7 @@ import pytest
 from consolver_tpu.core import schedules
 from consolver_tpu.pipelines.t2i import TextToImagePipeline
 from consolver_tpu.serve import (
+    EditInferenceEngine,
     EditRequest,
     GenerationRequest,
     InferenceEngine,
@@ -964,3 +965,111 @@ def test_refine_prewarm_signature():
     assert req.solver == "multistep-dpm"
     # distinct program from the preview default -> a second compile
     assert req.program_key != GenerationRequest(prompt="prewarm").program_key
+
+
+def test_edit_refine_applies_teacher_defaults_and_shares_noise(edit_pipe):
+    """/v1/edit/refine defaults to the reference's full-quality Kontext
+    signature (28-step Euler FM at guidance 2.5,
+    edit_ppo/edit_pretrain/generate.py:28-29) and shares the preview's
+    initial noise when given the preview's seed (noise is a pure function
+    of request seed — same contract as the sd /v1/refine)."""
+    captured = []
+
+    class _CapturePipe:
+        """Duck-typed edit pipeline: records STATIC program args at trace
+        time, output is a pure function of the initial noise (so equal
+        pngs <=> equal noise)."""
+
+        vae = edit_pipe.vae
+        t5 = edit_pipe.t5
+        clip = edit_pipe.clip
+        _denoise_cache = {}
+        transformer_params = t5_params = clip_params = None
+        vae_params = factor_params = None
+
+        def denoise_fn(self, *a, **k):  # engine pre-builds eagerly
+            return None
+
+        def padded_denoise_fn(self, *a, **k):
+            return None
+
+        def __call__(self, key, t5_ids, clip_ids, ref, noise,
+                     num_inference_steps, guidance_scale, solver,
+                     deterministic_policy, record, padded_max_steps):
+            captured.append(
+                (num_inference_steps, solver, float(guidance_scale))
+            )
+            # [B,8,8,C] noise -> [B,16,16,3] image, injective in noise
+            img = jax.numpy.clip(
+                jax.numpy.tile(noise[:, :, :, :3], (1, 2, 2, 1)) * 0.05 + 0.5,
+                0.0, 1.0,
+            )
+            return img, None
+
+    eng = EditInferenceEngine(_CapturePipe(), resolution=16, batch_size=1,
+                              t5_max_length=4, clip_max_length=4,
+                              flush_ms=1.0)
+    server = make_server(edit_engine=eng, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(5).integers(0, 256, (20, 24, 3), np.uint8)
+        ).save(buf, format="PNG")
+        img_b64 = base64.b64encode(buf.getvalue()).decode()
+        preview = json.dumps({
+            "instruction": "make it snow", "image_png_b64": img_b64,
+            "seed": 7, "num_inference_steps": 2,
+        }).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+                f"{base}/v1/edit", data=preview, method="POST"),
+                timeout=60) as r:
+            body_p = json.load(r)
+        refine = json.dumps({
+            "instruction": "make it snow", "image_png_b64": img_b64,
+            "seed": 7,
+        }).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+                f"{base}/v1/edit/refine", data=refine, method="POST"),
+                timeout=60) as r:
+            body_r = json.load(r)
+
+        assert captured[0] == (2, "fmppo", 2.5)
+        assert captured[1] == (28, "euler", 2.5)
+        # same seed -> same initial noise -> identical capture-pipe output
+        assert body_p["image_png_b64"] == body_r["image_png_b64"]
+
+        # client overrides still beat the refine defaults
+        refine2 = json.dumps({
+            "instruction": "make it snow", "image_png_b64": img_b64,
+            "seed": 7, "num_inference_steps": 12, "guidance_scale": 4.0,
+        }).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+                f"{base}/v1/edit/refine", data=refine2, method="POST"),
+                timeout=60):
+            pass
+        assert captured[-1] == (12, "euler", 4.0)
+    finally:
+        server.shutdown()
+        eng.shutdown()
+
+
+def test_edit_refine_prewarm_signature():
+    """--prewarm-refine warms the edit teacher signature too
+    (scripts/serve.py): 28-step Euler FM at cfg 2.5 — a distinct compiled
+    program from the 5-step fmppo preview default."""
+    from consolver_tpu.serve.http import EDIT_REFINE_DEFAULTS
+
+    gray = np.full((16, 16, 3), 127, np.uint8)
+    req = EditRequest(instruction="prewarm", image=gray,
+                      **EDIT_REFINE_DEFAULTS)
+    assert req.num_inference_steps == 28
+    assert req.solver == "euler"
+    assert req.guidance_scale == 2.5
+    assert req.program_key != EditRequest(
+        instruction="prewarm", image=gray).program_key
