@@ -8,8 +8,11 @@ program fed by a batching queue*: XLA compiles one program per
 (batch, steps, cfg, solver) signature (remote TPU compiles run ~1-3 min),
 so the engine pins the batch dimension, pads partial batches, and coalesces
 concurrent requests into full batches — throughput then follows the
-measured bench knee (batch 8 int8 hybrid = 8.3 img/s/chip) instead of
-degrading to batch-1 latency per request.
+measured bench knee instead of degrading to batch-1 latency per request.
+Measured under saturating load (SERVING_r04.json): 8.08 img/s/chip at the
+bench config, 97% of bench.py's raw-pipeline 8.33 — via the per-signature
+fused program (_serve_program) plus dispatch/readback pipelining
+(_fetch_loop).
 
 Two engines share the batching core: :class:`InferenceEngine` serves
 text-to-image (SD family) and :class:`EditInferenceEngine` serves
