@@ -191,3 +191,62 @@ def test_edit_trainer_checkpoint_resume(pipe, tmp_path):  # noqa: F811
         for a, b in zip(jax.tree.leaves(trainer.params), jax.tree.leaves(trainer2.params))
     )
     assert same
+
+
+@pytest.mark.slow
+def test_edit_resume_replays_uninterrupted_run(pipe, tmp_path):  # noqa: F811
+    """Edit-family kill/resume parity (edit_ppo/train_ppo.py:117-133): a
+    run checkpointed at step 3 and resumed must reach step 6 with params +
+    opt_state BIT-EQUAL to an uninterrupted 6-step run over the same data
+    stream — the FLUX twin of test_ppo.test_resume_replays_uninterrupted_run.
+    Exercises fit()'s data fast-forward and the (seed, global_step)-derived
+    rollout/step-count draws through EditPPOTrainer."""
+
+    def batches():
+        # index-dependent content: any stream misalignment after resume
+        # changes the consumed data and breaks bit-equality
+        i = 0
+        while True:
+            rng = np.random.default_rng(300 + i)
+            yield {
+                "noise": rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+                "latent": rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+                "ref_image": np.zeros((2, 16, 16, 3), np.float32),
+                "t5_ids": rng.integers(1, 20, (2, 4)).astype(np.int64),
+                "clip_ids": rng.integers(1, 20, (2, 4)).astype(np.int64),
+            }
+            i += 1
+
+    def config(out, max_steps, ckpt_steps=100):
+        return TrainConfig(
+            max_train_steps=max_steps, min_inference_steps=2,
+            max_inference_steps=3, output_dir=str(out), seed=7,
+            checkpointing_steps=ckpt_steps,
+            ppo=PPOConfig(ppo_epochs=1, learning_rate=1e-3),
+        )
+
+    def make_trainer(cfg):
+        pipe.factor_params = pipe.factor_net.init(jax.random.key(21))
+        return EditPPOTrainer(pipe, make_reward_fn("image_psnr"), cfg)
+
+    # uninterrupted control: 6 steps straight through
+    control = make_trainer(config(tmp_path / "a", 6))
+    control.fit(batches())
+    assert control.global_step == 6
+
+    # victim: 3 steps, checkpoint, "crash"; a FRESH trainer resumes to 6
+    victim = make_trainer(config(tmp_path / "b", 3, ckpt_steps=3))
+    victim.fit(batches())
+    assert victim.global_step == 3
+
+    resumed = make_trainer(config(tmp_path / "b", 6))
+    assert resumed.resume_from_checkpoint("latest")
+    assert resumed.global_step == 3
+    resumed.fit(batches())
+    assert resumed.global_step == 6
+
+    for got, want in zip(
+        jax.tree.leaves((resumed.params, resumed.opt_state)),
+        jax.tree.leaves((control.params, control.opt_state)),
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
