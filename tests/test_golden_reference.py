@@ -574,3 +574,84 @@ class TestAmedPluginGolden:
     @pytest.mark.parametrize("algorithm", ["sde-dpmsolver++", "sde-dpmsolver"])
     def test_amed_sde(self, algorithm):
         self._drive(algorithm, 4, with_noise=True)
+
+
+class TestDpmZooStockGolden:
+    """The STOCK (non-AMED) dpm zoo solvers against the reference plugin
+    run in identity-scales mode: scale_dirs/scale_times all ones make the
+    sigma-snap a no-op and every update reduce to the verbatim diffusers
+    multistep math the plugin carries (diffusers_amed_plugin_dpmpp.py:
+    70-348 — first/second/third-order updates + the step() dispatch with
+    lower_order_final/lower_order_second warmup).  This upgrades the zoo's
+    dpm o1-3 coverage (gen_ppo.py:118-169 pulls them from diffusers) from
+    property tests to a reference-file-exact oracle on shared timesteps;
+    timestep SPACING itself stays covered by the linspace exactness tests
+    (the spacing code lives in diffusers, not in /root/reference)."""
+
+    @pytest.mark.parametrize(
+        "algorithm,order,num_steps",
+        [
+            ("dpmsolver", 1, 8),
+            ("dpmsolver", 2, 5),
+            ("dpmsolver", 3, 8),
+            ("dpmsolver++", 1, 8),
+            ("dpmsolver++", 2, 5),
+            ("dpmsolver++", 3, 8),
+            # n >= 15: the final two steps run at FULL order (the
+            # lower_order_final/second guards disengage)
+            ("dpmsolver++", 2, 16),
+            ("dpmsolver++", 3, 16),
+        ],
+    )
+    def test_stock_dpm(self, algorithm, order, num_steps):
+        from consolver_tpu.pipelines.solver_zoo import DpmMultistep
+
+        mod = load_reference("diffusers_amed_plugin_dpmpp.py")
+        sched = schedules.DiffusionSchedule.sd15()
+        ours = DpmMultistep(
+            sched, num_steps, algorithm=algorithm, solver_order=order
+        )
+
+        rng = np.random.default_rng(1000 * order + num_steps)
+        consts = rng.standard_normal(
+            (num_steps, 2, 3, 4, 4)
+        ).astype(np.float32)
+        noise0 = rng.standard_normal((2, 3, 4, 4)).astype(np.float32)
+
+        def eps_fn(x_np, i):
+            return 0.1 * x_np + consts[i]
+
+        ref = mod.DPMSolverMultistepScheduler(
+            num_train_timesteps=1000, beta_start=0.00085, beta_end=0.012,
+            beta_schedule="scaled_linear", solver_order=order,
+            algorithm_type=algorithm, final_sigmas_type="sigma_min",
+        )
+        ref.scale_dirs = [1.0] * num_steps
+        ref.scale_times = [1.0] * num_steps
+        # explicit-timesteps entry: our stock linspace ladder + trailing 0
+        ref.set_timesteps(timesteps=list(ours.timesteps) + [0])
+        # identity scale_times: the sigma-snap must be a no-op
+        np.testing.assert_array_equal(ours.timesteps, ref.timesteps.numpy())
+        np.testing.assert_allclose(
+            ours.sigmas, ref.sigmas.numpy(), rtol=1e-6
+        )
+
+        x_ref = torch.from_numpy(noise0.copy())
+        ref_traj = []
+        for i, t in enumerate(ref.timesteps):
+            eps = torch.from_numpy(eps_fn(x_ref.numpy(), i))
+            x_ref = ref.step(eps, int(t), x_ref, return_dict=False)[0]
+            ref_traj.append(x_ref.numpy().copy())
+
+        x = jnp.asarray(noise0)
+        for i in range(num_steps):
+            eps = jnp.asarray(eps_fn(np.asarray(x), i))
+            x = ours.step(i, x, eps)
+            # rtol 3e-4: we compute lambdas/coefficients in float64 where
+            # the reference stays torch-float32; at order 3 the h**2 terms
+            # amplify that to ~2e-4 rel on late steps (formula errors show
+            # up at O(1) rel, far above this)
+            np.testing.assert_allclose(
+                np.asarray(x), ref_traj[i], rtol=3e-4, atol=1e-5,
+                err_msg=f"{algorithm} o{order} n={num_steps} step {i}",
+            )
