@@ -289,6 +289,7 @@ def main():
                           os.path.abspath(args.compile_cache))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     server, engines, descs = build_server(args)
+    install_sigterm_handler()
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port}  "
           f"({'; '.join(descs)}, devices={jax.device_count()})", flush=True)
@@ -300,6 +301,19 @@ def main():
         server.shutdown()
         for eng in engines:
             eng.shutdown()
+
+
+def install_sigterm_handler():
+    """Route SIGTERM (the orchestrator stop signal — k8s, systemd, docker
+    stop) through the same graceful drain as Ctrl-C: without this a TERM
+    kills the process mid-batch and in-flight requests are dropped instead
+    of completing through engine.shutdown()'s pending-drain."""
+    import signal
+
+    def _term(_signum, _frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
 
 
 def build_server(args):

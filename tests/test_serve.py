@@ -1073,3 +1073,22 @@ def test_edit_refine_prewarm_signature():
     assert req.guidance_scale == 2.5
     assert req.program_key != EditRequest(
         instruction="prewarm", image=gray).program_key
+
+
+def test_sigterm_routes_to_graceful_drain():
+    """scripts/serve.py installs a SIGTERM handler that raises
+    KeyboardInterrupt so orchestrator stops (k8s/systemd/docker) drain
+    in-flight batches through the same path as Ctrl-C."""
+    import signal
+
+    from scripts.serve import install_sigterm_handler
+
+    old = signal.getsignal(signal.SIGTERM)
+    try:
+        install_sigterm_handler()
+        handler = signal.getsignal(signal.SIGTERM)
+        assert handler is not old
+        with pytest.raises(KeyboardInterrupt):
+            handler(signal.SIGTERM, None)
+    finally:
+        signal.signal(signal.SIGTERM, old)
