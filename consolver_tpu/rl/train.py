@@ -113,6 +113,15 @@ class PPOTrainer(CheckpointMixin):
             self.pipe.vae_params = meshlib.replicate(mesh, self.pipe.vae_params)
         else:
             self._update = jax.jit(update)
+            # Single chip: pin the model trees on device ONCE.  An
+            # orbax-restored tree is host numpy, and host-numpy leaves
+            # re-stage the whole tree through the (tunneled) transfer path
+            # on EVERY jitted call — measured ~100 s/step vs 13 s for the
+            # full-size SD stack (the same pitfall probe_train_edit_tpu
+            # found for serving in round 2).
+            self.pipe.unet_params = jax.device_put(self.pipe.unet_params)
+            self.pipe.text_params = jax.device_put(self.pipe.text_params)
+            self.pipe.vae_params = jax.device_put(self.pipe.vae_params)
         if getattr(reward_fn, "host_side", False):
             # VLM-judge rewards are host callables (registry.make_reward_fn
             # marks them): jit only the decodes, score eagerly

@@ -88,6 +88,16 @@ class EditPPOTrainer(CheckpointMixin):
             pipeline.vae_params = meshlib.replicate(mesh, pipeline.vae_params)
         else:
             self._update = jax.jit(update)
+            # Single chip: pin the (possibly orbax-restored host-numpy)
+            # model trees on device ONCE — numpy leaves re-stage the whole
+            # tree on every jitted call (see rl/train.py; ~12 GB/step for
+            # full-size FLUX through the tunnel).
+            pipeline.transformer_params = jax.device_put(
+                pipeline.transformer_params
+            )
+            pipeline.t5_params = jax.device_put(pipeline.t5_params)
+            pipeline.clip_params = jax.device_put(pipeline.clip_params)
+            pipeline.vae_params = jax.device_put(pipeline.vae_params)
 
     @property
     def factor_net(self):

@@ -93,6 +93,13 @@ def main():
         pipe.vae_params = meshlib.replicate(mesh, pipe.vae_params)
         if pipe.factor_params is not None:
             pipe.factor_params = meshlib.replicate(mesh, pipe.factor_params)
+    else:
+        # pin the orbax-restored (host-numpy) trees on device once: numpy
+        # leaves re-stage the whole tree on every jitted batch (rl/train.py
+        # has the measured numbers)
+        pipe.unet_params = jax.device_put(pipe.unet_params)
+        pipe.text_params = jax.device_put(pipe.text_params)
+        pipe.vae_params = jax.device_put(pipe.vae_params)
 
     def shard_inputs(ids, noise):
         if mesh is None:

@@ -96,6 +96,12 @@ def main():
         for attr in ("transformer_params", "t5_params", "clip_params",
                      "vae_params", "factor_params"):
             setattr(pipe, attr, meshlib.replicate(mesh, getattr(pipe, attr)))
+    else:
+        # pin orbax-restored (host-numpy) trees on device once (see
+        # rl/train.py for the measured per-call re-staging cost)
+        for attr in ("transformer_params", "t5_params", "clip_params",
+                     "vae_params"):
+            setattr(pipe, attr, jax.device_put(getattr(pipe, attr)))
 
     records = read_instruction_records(args.source)[: args.max_examples]
     pairs = [(r["path"], r["instruction"]) for r in records]

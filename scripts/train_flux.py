@@ -72,11 +72,17 @@ def build_pipeline(cfg, factor_net, factor_params):
             ),
             dtype=dtype,
         )
+        from consolver_tpu.utils.trees import cast_floating
+
+        # converted checkpoints store float32; train in model.dtype like
+        # the reference's weight_dtype cast (train_ppo.py:156-165)
         return FluxKontextPipeline(
-            transformer, load_orbax(os.path.join(pretrained, "transformer")),
-            t5, load_orbax(os.path.join(pretrained, "t5")),
-            clip, load_orbax(os.path.join(pretrained, "clip_text")),
-            vae, load_orbax(os.path.join(pretrained, "vae")),
+            transformer,
+            cast_floating(load_orbax(os.path.join(pretrained, "transformer")), dtype),
+            t5, cast_floating(load_orbax(os.path.join(pretrained, "t5")), dtype),
+            clip,
+            cast_floating(load_orbax(os.path.join(pretrained, "clip_text")), dtype),
+            vae, cast_floating(load_orbax(os.path.join(pretrained, "vae")), dtype),
             factor_net=factor_net, factor_params=factor_params,
         )
 

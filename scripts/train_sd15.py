@@ -106,9 +106,14 @@ def build_pipeline(cfg, factor_net, factor_params):
         tcfg = load_model_config(tp, ClipTextConfig, ClipTextConfig.sd15())
         unet, vae = UNet2DCondition(ucfg, dtype=dtype), AutoencoderKL(vcfg, dtype=dtype)
         te = ClipTextEncoder(tcfg, dtype=dtype)
-        unet_params = load_orbax(up)
-        vae_params = load_orbax(vp)
-        te_params = load_orbax(tp)
+        from consolver_tpu.utils.trees import cast_floating
+
+        # converted checkpoints store float32; train in model.dtype like
+        # the reference's weight_dtype cast (train_ppo.py:156-165) — at
+        # f32 the resident SD stack OOMs the batch-80 step on one chip
+        unet_params = cast_floating(load_orbax(up), dtype)
+        vae_params = cast_floating(load_orbax(vp), dtype)
+        te_params = cast_floating(load_orbax(tp), dtype)
     else:
         print("[smoke mode] no pretrained_path: tiny random models")
         ucfg, vcfg, tcfg = UNetConfig.tiny(), VaeConfig.tiny(), ClipTextConfig.tiny()

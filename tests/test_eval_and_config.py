@@ -420,3 +420,25 @@ def test_unified_cli_dispatch(tmp_path, capsys):
     import json
     stats = json.loads(out.read_text())
     assert stats["num_scored"] == 2 and stats["num_errors"] == 0
+
+
+def test_cast_floating_casts_floats_keeps_ints():
+    """utils.trees.cast_floating: frozen model trees load float32 but train
+    in model.dtype (the reference's weight_dtype cast, train_ppo.py:156-165);
+    integer leaves (packed int4/int8, token tables) must pass through."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from consolver_tpu.utils.trees import cast_floating
+
+    tree = {
+        "w": np.ones((2, 2), np.float32),
+        "packed": np.ones((2,), np.uint8),
+        "ids": np.ones((3,), np.int64),
+        "nested": {"b": np.zeros((1,), np.float64)},
+    }
+    out = cast_floating(tree, jnp.bfloat16)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["nested"]["b"].dtype == jnp.bfloat16
+    assert out["packed"].dtype == np.uint8
+    assert out["ids"].dtype == np.int64

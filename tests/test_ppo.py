@@ -485,3 +485,33 @@ def test_grad_accumulation_steps():
     np.testing.assert_allclose(
         np.asarray(after["w"]), np.asarray(ref_after["w"]), rtol=1e-6
     )
+
+
+def test_trainer_pins_numpy_model_trees_on_device(tmp_path):
+    """Single-chip trainers must device_put orbax-restored (host-numpy)
+    model trees ONCE at init: numpy leaves re-stage the whole tree through
+    the transfer path on EVERY jitted call (~100 s/step vs 13 s measured
+    for the full-size SD stack on the tunneled chip)."""
+    from tests.test_pipeline import make_tiny_stack
+    from consolver_tpu.pipelines.t2i import TextToImagePipeline
+    from consolver_tpu.rewards.registry import make_reward_fn
+    from consolver_tpu.rl.train import PPOTrainer, TrainConfig
+
+    (unet, unet_params), (te, te_params), (vae, vae_params) = make_tiny_stack()
+    to_np = lambda t: jax.tree.map(lambda x: np.asarray(x), t)
+    fnet = FactorNet(
+        FactorNetConfig(order_dim=4, scaler_dim=0, num_actions=11, family="sd")
+    )
+    pipe = TextToImagePipeline(
+        unet, to_np(unet_params), te, to_np(te_params), vae, to_np(vae_params),
+        schedules.DiffusionSchedule.sd15(),
+        factor_net=fnet, factor_params=fnet.init(jax.random.key(0)),
+    )
+    PPOTrainer(
+        pipe, make_reward_fn("image_psnr"),
+        TrainConfig(max_train_steps=1, output_dir=str(tmp_path),
+                    ppo=PPOConfig(ppo_epochs=1)),
+    )
+    for tree in (pipe.unet_params, pipe.text_params, pipe.vae_params):
+        for leaf in jax.tree.leaves(tree):
+            assert isinstance(leaf, jax.Array), type(leaf)
