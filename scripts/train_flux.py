@@ -74,15 +74,23 @@ def build_pipeline(cfg, factor_net, factor_params):
         )
         from consolver_tpu.utils.trees import cast_floating
 
-        # converted checkpoints store float32; train in model.dtype like
-        # the reference's weight_dtype cast (train_ppo.py:156-165)
+        def load_cast(sub, mcfg):
+            params = load_orbax(os.path.join(pretrained, sub))
+            # quantized serving checkpoints load VERBATIM (scales/biases
+            # must stay bit-identical to in-memory .quantize());
+            # float checkpoints cast to model.dtype like the reference's
+            # weight_dtype cast (train_ppo.py:156-165)
+            if getattr(mcfg, "quant_int8", False) or getattr(
+                mcfg, "quant_int4", False
+            ):
+                return params
+            return cast_floating(params, dtype)
+
         return FluxKontextPipeline(
-            transformer,
-            cast_floating(load_orbax(os.path.join(pretrained, "transformer")), dtype),
-            t5, cast_floating(load_orbax(os.path.join(pretrained, "t5")), dtype),
-            clip,
-            cast_floating(load_orbax(os.path.join(pretrained, "clip_text")), dtype),
-            vae, cast_floating(load_orbax(os.path.join(pretrained, "vae")), dtype),
+            transformer, load_cast("transformer", transformer.cfg),
+            t5, load_cast("t5", t5.cfg),
+            clip, load_cast("clip_text", clip.cfg),
+            vae, load_cast("vae", vae.cfg),
             factor_net=factor_net, factor_params=factor_params,
         )
 

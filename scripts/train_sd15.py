@@ -108,12 +108,22 @@ def build_pipeline(cfg, factor_net, factor_params):
         te = ClipTextEncoder(tcfg, dtype=dtype)
         from consolver_tpu.utils.trees import cast_floating
 
-        # converted checkpoints store float32; train in model.dtype like
-        # the reference's weight_dtype cast (train_ppo.py:156-165) — at
-        # f32 the resident SD stack OOMs the batch-80 step on one chip
-        unet_params = cast_floating(load_orbax(up), dtype)
-        vae_params = cast_floating(load_orbax(vp), dtype)
-        te_params = cast_floating(load_orbax(tp), dtype)
+        def maybe_cast(params, mcfg):
+            # quantized serving checkpoints are serving-ready: their float
+            # residue (int8 scales, norms, biases) must load VERBATIM so
+            # the loaded pipeline is bit-identical to in-memory .quantize()
+            if getattr(mcfg, "quant_int8", False) or getattr(
+                mcfg, "quant_int4", False
+            ):
+                return params
+            # converted checkpoints store float32; train in model.dtype
+            # like the reference's weight_dtype cast (train_ppo.py:156-165)
+            # — at f32 the resident SD stack OOMs the batch-80 step
+            return cast_floating(params, dtype)
+
+        unet_params = maybe_cast(load_orbax(up), ucfg)
+        vae_params = maybe_cast(load_orbax(vp), vcfg)
+        te_params = maybe_cast(load_orbax(tp), tcfg)
     else:
         print("[smoke mode] no pretrained_path: tiny random models")
         ucfg, vcfg, tcfg = UNetConfig.tiny(), VaeConfig.tiny(), ClipTextConfig.tiny()
