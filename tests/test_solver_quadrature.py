@@ -329,6 +329,55 @@ class TestLadderConvergence:
         # measured 3.84x per doubling
         assert err8 / err16 > 3.0, (err8, err16)
 
+    def test_ipndm_converges_on_uniform_lambda_schedule(self):
+        """iPNDM reads integer-timestep alphas_cumprod, so the uniform-lambda
+        ladder is built INTO the schedule: lambda(t) linear in t (abar =
+        sigmoid(2*lambda)), making the solver's uniform-t PLMS grid uniform
+        in lambda too.  Feeding eps(lam)=sin(lam) (x-independent, as the
+        real driver would at each visited timestep) the full PLMS run must
+        converge to the quadrature-integrated probability-flow solution.
+        Measured: err 1.42e-2 -> 2.46e-3 -> 9.1e-4 over 8/16/32 steps
+        (the intervals differ slightly per n — lam_start = lam(t_max(n)) —
+        so each n is compared against ITS OWN exact endpoint)."""
+        LAM_LO, LAM_HI = -1.5, 1.5
+        T = 1000
+        lam_of_t = LAM_HI + (LAM_LO - LAM_HI) * np.arange(T) / (T - 1)
+        abar = 1.0 / (1.0 + np.exp(-2.0 * lam_of_t))
+        alphas = np.concatenate([[abar[0]], abar[1:] / abar[:-1]])
+        sched = schedules.DiffusionSchedule(
+            num_train_timesteps=T,
+            betas=(1.0 - alphas).astype(np.float32),
+            alphas_cumprod=abar.astype(np.float32),
+            final_alpha_cumprod=float(abar[0]),
+        )
+
+        def lam_at(t):
+            return LAM_HI + (LAM_LO - LAM_HI) * t / (T - 1)
+
+        def run(num_steps):
+            solver = IPndm(sched, num_steps)
+            x = jnp.full((2, 2), 1.5, jnp.float32)
+            for i in range(len(solver.timesteps)):
+                t = int(solver.timesteps[i])
+                x = solver.step(
+                    i, x, jnp.full((2, 2), math.sin(lam_at(t)), jnp.float32)
+                )
+            t_start = int(solver.timesteps[0])
+            a_s = math.sqrt(abar[t_start])
+            a_e = math.sqrt(abar[0])  # ends at final_alpha_cumprod = abar[0]
+            integral = _quad(
+                lambda l: -np.exp(-l) * np.sin(l), lam_at(t_start), lam_at(0)
+            )
+            exact = a_e * (1.5 / a_s + integral)
+            return float(np.max(np.abs(np.asarray(x) - exact))), abs(exact)
+
+        err8, scale = run(8)
+        err16, _ = run(16)
+        err32, _ = run(32)
+        assert err8 / scale < 0.01, err8 / scale
+        assert err8 / err16 > 3.5, (err8, err16)   # measured 5.78
+        assert err16 / err32 > 2.0, (err16, err32)  # measured 2.69
+
 
 class TestIPndmWeights:
     def test_multistep_weights_solve_the_ab_moment_system(self):
