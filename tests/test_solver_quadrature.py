@@ -306,6 +306,77 @@ class TestLadderConvergence:
             _, scale = self._run_dpm(8, algorithm, 2)
             assert errs[2][8] / scale < 0.05, (algorithm, errs[2][8] / scale)
 
+    def test_sde_variants_zero_noise_skeleton_converges(self):
+        """The sde-dpmsolver(++) DETERMINISTIC skeleton (noise monkeypatched
+        to zeros) against the defining integrals of the reverse-SDE mean,
+        derived independently of the plugin golden:
+
+        - sde-dpmsolver (eps space): the 2x score drift gives
+          d(x/alpha)/dlam = -2 e^-lam eps  (2x the ODE integral),
+        - sde-dpmsolver++ (x0 space): dx/dlam = -(1+alpha^2) x + 2 alpha g,
+          integrating factor mu = e^lam/sigma(lam)  (d log mu/dlam =
+          1 + alpha^2 since d log sigma/dlam = -alpha^2), so
+          x_N = (sig_N/sig_0) e^{lam_0-lam_N} x_0
+                + sig_N e^{-lam_N} * I[2 e^{2l} g(l)].
+
+        Measured per doubling: order 1 ~1.9-2.3x, order 2 ~3.8-4.1x.  A
+        coefficient slip (e.g. dropping the factor 2, or e^{-2h} vs e^{-h})
+        floors the error at O(1) instead.  The stochastic term itself is
+        golden-tested with injected noise (test_golden_reference.py)."""
+        for algorithm in ("sde-dpmsolver", "sde-dpmsolver++"):
+            errs = {}
+            for order in (1, 2):
+                errs[order] = {}
+                for n in (8, 16):
+                    err, scale = self._run_sde(n, algorithm, order)
+                    errs[order][n] = err
+            assert errs[1][8] / errs[1][16] > 1.6, (algorithm, errs[1])
+            assert errs[2][8] / errs[2][16] > 3.0, (algorithm, errs[2])
+            _, scale = self._run_sde(8, algorithm, 2)
+            assert errs[2][8] / scale < 0.05, (algorithm, errs[2][8] / scale)
+
+    def _run_sde(self, num_steps, algorithm, order):
+        lam = np.linspace(self.LAM_LO, self.LAM_HI, num_steps + 1)
+        sig_table = np.exp(-lam)
+        ts = np.linspace(900, 1, num_steps).round().astype(np.int64)
+        solver = DpmMultistep(
+            schedules.DiffusionSchedule.sd15(),
+            num_steps,
+            algorithm=algorithm,
+            solver_order=order,
+            custom_timesteps=ts,
+            custom_sigmas=sig_table,
+            noise_key=jax.random.PRNGKey(0),
+        )
+        solver._noise = lambda i, shape, dtype: jnp.zeros(shape, dtype)
+        x = jnp.full((2, 2), 1.5, jnp.float32)
+        a0, s0 = _alpha_sigma(np.float64(sig_table[0]))
+        aN, sN = _alpha_sigma(np.float64(sig_table[-1]))
+        if algorithm == "sde-dpmsolver++":
+            for i in range(num_steps):
+                a_i, s_i = _alpha_sigma(np.float64(sig_table[i]))
+                eps = (x - float(a_i) * math.sin(lam[i])) / float(s_i)
+                x = solver.step(i, x, eps)
+            integral = _quad(
+                lambda l: 2.0 * np.exp(2 * l) * np.sin(l),
+                self.LAM_LO, self.LAM_HI,
+            )
+            exact = (
+                float(sN / s0) * math.exp(self.LAM_LO - self.LAM_HI) * 1.5
+                + float(sN) * math.exp(-self.LAM_HI) * integral
+            )
+        else:
+            for i in range(num_steps):
+                x = solver.step(
+                    i, x, jnp.full((2, 2), math.sin(lam[i]), jnp.float32)
+                )
+            integral = _quad(
+                lambda l: -2.0 * np.exp(-l) * np.sin(l),
+                self.LAM_LO, self.LAM_HI,
+            )
+            exact = float(aN) * (1.5 / float(a0) + integral)
+        return float(np.max(np.abs(np.asarray(x) - exact))), abs(exact)
+
     def test_deis_order2_converges(self):
         def run(num_steps):
             solver = Deis(
