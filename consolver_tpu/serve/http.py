@@ -23,6 +23,18 @@ Endpoints
                           signature (28-step Euler FM at guidance 2.5,
                           edit_ppo/edit_pretrain/generate.py:28-29).  Same
                           seed-sharing contract as ``/v1/refine``.
+``POST /v1/admin/reload_factor``  hot-reload the policy from a server-side
+                          checkpoint path: ``{"path": "runs/checkpoint-300",
+                          "engine": "generate"|"edit"}`` (``engine`` optional
+                          with a single engine).  The product loop writes a
+                          policy checkpoint every N train steps
+                          (train_ppo.py:445-449); this swaps it into the
+                          resident engine with NO re-trace (params are jit
+                          arguments) — in-flight batches finish on the old
+                          policy, later requests use the new one.  Mismatched
+                          dims (a different compiled program) are rejected
+                          409.  ``path`` is resolved on the SERVER host —
+                          keep the port unexposed or front it with auth.
 
 Limits: bodies over ``MAX_BODY_BYTES`` are rejected 413 before being read;
 ``image_png_b64`` images over ``MAX_EDIT_PIXELS`` are rejected 400 before
@@ -177,6 +189,9 @@ class ServeHandler(BaseHTTPRequestHandler):
             self._reply(400, {"error": str(exc)})
             return
 
+        if self.path == "/v1/admin/reload_factor":
+            self._admin_reload_factor(payload)
+            return
         if self.path in ("/v1/generate", "/v1/refine"):
             engine = self.server.engine
             if engine is None:
@@ -233,6 +248,35 @@ class ServeHandler(BaseHTTPRequestHandler):
                 "latency_ms": round((time.monotonic() - t0) * 1e3, 1),
             },
         )
+
+
+    def _admin_reload_factor(self, payload: dict) -> None:
+        engines = {}
+        if self.server.engine is not None:
+            engines["generate"] = self.server.engine
+        if self.server.edit_engine is not None:
+            engines["edit"] = self.server.edit_engine
+        name = payload.get("engine")
+        if name is None and len(engines) == 1:
+            name = next(iter(engines))
+        if name not in engines:
+            self._reply(400, {
+                "error": f"'engine' must be one of {sorted(engines)}"
+            })
+            return
+        path = payload.get("path")
+        if not isinstance(path, str) or not path:
+            self._reply(400, {"error": "missing required field 'path'"})
+            return
+        try:
+            out = engines[name].load_factor_ckpt(path)
+        except ValueError as exc:  # dim/config mismatch: program property
+            self._reply(409, {"error": str(exc)})
+            return
+        except Exception as exc:  # unreadable/corrupt checkpoint
+            self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
+            return
+        self._reply(200, {"ok": True, "engine": name, **out})
 
 
 class ServeServer(ThreadingHTTPServer):

@@ -93,6 +93,18 @@ def _data_shards(mesh) -> int:
     return data_axis_size(mesh)
 
 
+def _batch_kwargs(args, shards: int = 1) -> dict:
+    """--batch-sizes / --adaptive-flush -> engine kwargs (sizes are
+    PER DATA SHARD, like --batch-size)."""
+    out = {"adaptive_flush": bool(getattr(args, "adaptive_flush", False))}
+    raw = getattr(args, "batch_sizes", None)
+    if raw:
+        out["batch_sizes"] = tuple(
+            int(s) * shards for s in str(raw).split(",")
+        )
+    return out
+
+
 def build_t2i_engine(args):
     from consolver_tpu.configs.config import ExperimentConfig, apply_overrides
     from consolver_tpu.policy import FactorNet
@@ -130,6 +142,7 @@ def build_t2i_engine(args):
             latent_size=latent, flush_ms=args.flush_ms,
             max_wait_s=getattr(args, "max_wait_s", None),
             padded_max_steps=args.padded_max_steps,
+            **_batch_kwargs(args),
         ), f"generate replicas={replicas} batch={per}/replica latent={latent}"
     mesh = _serving_mesh(args)
     per_shard = args.batch_size if args.batch_size is not None else 8
@@ -138,6 +151,7 @@ def build_t2i_engine(args):
         pipe, batch_size=batch, latent_size=latent, flush_ms=args.flush_ms,
         max_wait_s=getattr(args, "max_wait_s", None),
         mesh=mesh, padded_max_steps=args.padded_max_steps,
+        **_batch_kwargs(args, _data_shards(mesh)),
     ), f"generate batch={batch} latent={latent}" + (
         f" mesh={dict(mesh.shape)}" if mesh is not None else ""
     )
@@ -196,13 +210,14 @@ def build_edit_engine(args):
         per = args.batch_size if args.batch_size is not None else 1
         return make_replicas(
             pipe, EditInferenceEngine, replicas, batch_size=per,
-            **edit_kwargs,
+            **edit_kwargs, **_batch_kwargs(args),
         ), f"edit replicas={replicas} batch={per}/replica resolution={resolution}"
     mesh = _serving_mesh(args)
     per_shard = args.batch_size if args.batch_size is not None else 1
     batch = per_shard * _data_shards(mesh)
     return EditInferenceEngine(
         pipe, batch_size=batch, mesh=mesh, **edit_kwargs,
+        **_batch_kwargs(args, _data_shards(mesh)),
     ), f"edit batch={batch} resolution={resolution}" + (
         f" mesh={dict(mesh.shape)}" if mesh is not None else ""
     )
@@ -265,7 +280,22 @@ def main():
                          "listed step count (remote TPU compiles run "
                          "~1-3 min each, so the first request would "
                          "otherwise eat them)")
-    ap.add_argument("--flush-ms", type=float, default=30.0)
+    ap.add_argument("--flush-ms", type=float, default=30.0,
+                    help="partial-batch flush window; with --adaptive-flush "
+                         "this is the CAP (latency budget) — pass something "
+                         "generous like 500-1000")
+    ap.add_argument("--batch-sizes", default=None,
+                    help="comma-separated extra compiled batch shapes per "
+                         "data shard (e.g. '4,8'): partial batches pad to "
+                         "the smallest listed size that fits instead of "
+                         "always the full batch — cuts pad waste at "
+                         "sub-saturating load.  Overrides --batch-size "
+                         "(the max listed size is the compiled maximum)")
+    ap.add_argument("--adaptive-flush", action="store_true",
+                    help="scale the flush window with the observed arrival "
+                         "rate (EMA inter-arrival gap), capped at "
+                         "--flush-ms, and keep filling while the device "
+                         "pipeline is already full")
     ap.add_argument("--max-wait-s", type=float, default=None,
                     help="queue deadline: requests still waiting this long "
                          "when a batch forms are failed 503 (shed) instead "
