@@ -143,6 +143,9 @@ def main():
                     help="persistent XLA compile cache ('' disables) — "
                          "repeat probe runs then skip the 1-3 min remote "
                          "compiles")
+    ap.add_argument("--json-out", default=None,
+                    help="write {config, determinism, sweep:[...]} to this "
+                         "path (the SERVING_r{N}.json artifact)")
     args = ap.parse_args()
     if args.compile_cache:
         jax.config.update("jax_compilation_cache_dir",
@@ -216,11 +219,13 @@ def main():
             for i in range(args.batch_size - 1)
         ]
         runs = [("solo-repeat", [probe]), ("mixed-batch", fillers + [probe])]
+        determinism = {}
         for name, batch in runs:
             futs = [engine.submit(r) for r in batch]
             outs = [f.result(timeout=1800) for f in futs]
             got = outs[-1]
             ok = got.shape == solo.shape and (got == solo).all()
+            determinism[name] = "BIT-EQUAL" if ok else "MISMATCH"
             print(f"determinism[{name}]: {'BIT-EQUAL' if ok else 'MISMATCH'}"
                   + ("" if ok else f"  max|d|={np.abs(got.astype(np.int32) - solo.astype(np.int32)).max()}"),
                   flush=True)
@@ -232,6 +237,7 @@ def main():
 
     rates = ([float(r) for r in args.arrival_rates.split(",")]
              if args.arrival_rates else [args.arrival_rate])
+    sweep_rows = []
     for rate in rates:
         # fresh percentile windows per rate (one engine, per-rate stats)
         with engine._lock:
@@ -305,6 +311,25 @@ def main():
             "e2e_ms_p95": round(float(e2e[int(len(e2e) * 0.95)]), 1),
         }
         print(json.dumps(out), flush=True)
+        sweep_rows.append(out)
+    if args.json_out:
+        artifact = {
+            "engine": desc,
+            "config": {
+                "steps": args.steps, "batch_size": args.batch_size,
+                "batch_sizes": _batch_sizes(args) or (args.batch_size,),
+                "adaptive_flush": args.adaptive_flush,
+                "flush_ms_cap": args.flush_ms,
+                "requests_per_rate": args.requests,
+                "hardware": f"{jax.device_count()}x "
+                            f"{jax.devices()[0].device_kind}",
+            },
+            "determinism": (determinism if args.verify_determinism else None),
+            "sweep": sweep_rows,
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(artifact, f, indent=2)
+        print(f"wrote {args.json_out}", flush=True)
     engine.shutdown()
 
 
