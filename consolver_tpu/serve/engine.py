@@ -197,7 +197,10 @@ class _BatchingEngine:
         rates most compute otherwise goes to pad rows (SERVING_r04's 0.67
         occupancy at the knee).  Each size is one more trace of the same
         program (prewarm compiles them all).  Defaults to
-        ``(batch_size,)``.
+        ``(batch_size,)``.  Batches holding a ``deterministic`` request
+        always pad to the max shape — shape choice is numerics-visible on
+        TPU (see :meth:`_pick_size`) and must not leak into reproducible
+        outputs.
     adaptive_flush : bool
         Scale the flush window with the observed arrival rate instead of
         always waiting the fixed ``flush_ms``: wait
@@ -298,15 +301,21 @@ class _BatchingEngine:
         real request skips the remote TPU compile (~1-3 min per program).
         Dispatches directly on the calling thread (not through the queue):
         a queue submit can only deterministically warm one batch shape,
-        and prewarm runs before traffic by contract.  Returns the number
-        of (signature, batch-size) programs warmed."""
+        and prewarm runs before traffic by contract.  Deterministic
+        signatures warm only the max shape (the only one they are ever
+        served at — see :meth:`_pick_size`).  Returns the number of
+        (signature, batch-size) programs warmed."""
         del timeout  # kept for API compatibility; dispatch is synchronous
         unique = {}
         for r in requests:
             unique.setdefault(r.program_key, r)
         n = 0
         for r in unique.values():
-            for size in self.batch_sizes:
+            sizes = (
+                (self.batch_sizes[-1],) if self._wants_pinned_shape([r])
+                else self.batch_sizes
+            )
+            for size in sizes:
                 images = self._dispatch([r] * size)
                 self._fetch(images, 1)
                 n += 1
@@ -438,7 +447,8 @@ class _BatchingEngine:
 
     def _serve_batch(self, batch) -> None:
         t0 = time.monotonic()
-        size = self._pick_size(len(batch))
+        size = self._pick_size(
+            len(batch), self._wants_pinned_shape([it[0] for it in batch]))
         try:
             images = self._dispatch([item[0] for item in batch])
         except Exception as exc:  # surface to every caller in the batch
@@ -520,15 +530,41 @@ class _BatchingEngine:
         need = max(0, self.batch_size - len(self._pending)) * gap
         return min(self._flush_s, need)
 
-    def _pick_size(self, n: int) -> int:
-        """Smallest configured batch shape that fits ``n`` rows."""
+    def _pick_size(self, n: int, deterministic: bool = False) -> int:
+        """Smallest configured batch shape that fits ``n`` rows.
+
+        Batches holding a ``deterministic`` request ALWAYS pad to the max
+        shape: each batch shape is its own XLA program, and on TPU the
+        bf16 tilings of different shapes differ at the LSB (measured on
+        chip: the same request solo [shape 4] vs in a full batch [shape 8]
+        differed by 1 uint8 level, round 5 probe_serving
+        --verify-determinism).  Pinning deterministic traffic to one shape
+        keeps its output a pure function of (prompt, seed, program);
+        sampled traffic takes the smallest shape for throughput."""
+        if deterministic:
+            return self.batch_sizes[-1]
         for s in self.batch_sizes:
             if s >= n:
                 return s
         return self.batch_sizes[-1]
 
-    def _pad(self, items: list) -> list:
-        return items + [items[-1]] * (self._pick_size(len(items)) - len(items))
+    @staticmethod
+    def _wants_pinned_shape(requests) -> bool:
+        return any(getattr(r, "deterministic", False) for r in requests)
+
+    def _pad(self, items: list, requests=None) -> list:
+        """Pad ``items`` (one per request) to the picked batch shape.
+
+        ``requests`` carries the actual request objects for the
+        deterministic-pin check — ``items`` are usually derived values
+        (prompts, seeds, decoded refs) that no longer carry the
+        ``deterministic`` flag, so inspecting them would silently skip
+        the max-shape pin (the round-5 on-chip mismatch: `_dispatch`
+        padded a solo deterministic request to shape 4 while stats said
+        8)."""
+        src = items if requests is None else requests
+        size = self._pick_size(len(items), self._wants_pinned_shape(src))
+        return items + [items[-1]] * (size - len(items))
 
     # --------------------------------------------------------- hot reload
     def update_factor_params(self, params) -> None:
@@ -746,7 +782,7 @@ class InferenceEngine(_BatchingEngine):
     def _dispatch(self, requests):
         from consolver_tpu.data.tokenizer import HashTokenizer, tokenize_batch
 
-        prompts = self._pad([r.prompt for r in requests])
+        prompts = self._pad([r.prompt for r in requests], requests)
         tok = self.pipeline.tokenizer or HashTokenizer(
             max_length=self.max_length
         )
@@ -754,7 +790,7 @@ class InferenceEngine(_BatchingEngine):
             tok, prompts, self.max_length,
             vocab_size=self.pipeline.text_encoder.cfg.vocab_size,
         ))
-        seeds = self._pad([int(r.seed) for r in requests])
+        seeds = self._pad([int(r.seed) for r in requests], requests)
         seed_arr = jnp.asarray(seeds)
         if self.mesh is not None:
             from consolver_tpu.dist.mesh import shard_batch
@@ -899,11 +935,11 @@ class EditInferenceEngine(_BatchingEngine):
         from consolver_tpu.data.edit_prep import center_crop_resize
         from consolver_tpu.data.tokenizer import HashTokenizer, tokenize_batch
 
-        instructions = self._pad([r.instruction for r in requests])
+        instructions = self._pad([r.instruction for r in requests], requests)
         refs01 = self._pad([
             center_crop_resize(np.asarray(r.image), self.resolution)
             for r in requests
-        ])
+        ], requests)
         ref = jnp.asarray(np.stack(refs01) * 2.0 - 1.0)
         t5_tok = self.t5_tokenizer or HashTokenizer(
             max_length=self.t5_max_length
@@ -919,7 +955,7 @@ class EditInferenceEngine(_BatchingEngine):
             clip_tok, instructions, self.clip_max_length,
             vocab_size=self.pipeline.clip.cfg.vocab_size,
         ))
-        seeds = self._pad([int(r.seed) for r in requests])
+        seeds = self._pad([int(r.seed) for r in requests], requests)
         seed_arr = jnp.asarray(seeds)
         if self.mesh is not None:
             from consolver_tpu.dist.mesh import shard_batch
