@@ -399,6 +399,18 @@ class _BatchingEngine:
             deadline = time.monotonic() + self._flush_window()
             while len(self._pending) < self.batch_size:
                 remain = deadline - time.monotonic()
+                # adaptive boundary-stop: pending sits exactly on a smaller
+                # compiled batch shape and the arrival-rate estimate says
+                # the next shape won't fill within the window — dispatch
+                # NOW at zero pad rows instead of padding at expiry.
+                # Never for pinned (deterministic) traffic (it pads to the
+                # max shape whatever we collect), and never while the
+                # device is backlogged (waiting is free then).
+                if (self._boundary_stop(len(self._pending), remain)
+                        and not self._fetch_queue.full()
+                        and not self._wants_pinned_shape(
+                            it[0] for it in self._pending)):
+                    break
                 if remain > 0:
                     try:
                         self._pending.append(self._queue.get(timeout=remain))
@@ -529,6 +541,26 @@ class _BatchingEngine:
             return self._flush_s
         need = max(0, self.batch_size - len(self._pending)) * gap
         return min(self._flush_s, need)
+
+    def _boundary_stop(self, n: int, remain_s: float) -> bool:
+        """Adaptive-mode early dispatch: true when ``n`` pending rows sit
+        exactly on a configured batch-shape boundary and the EMA
+        inter-arrival estimate says the NEXT boundary will not fill
+        within the remaining flush window.  Dispatching at a boundary
+        costs zero pad rows now; waiting risks padding ``next - n`` rows
+        at window expiry — at sub-saturating Poisson load the fixed
+        full-batch targeting padded 20-30% of all compiled rows
+        (SERVING_r05 sweep, rates at 50-90% of capacity)."""
+        if not self._adaptive or n not in self.batch_sizes:
+            return False
+        if n >= self.batch_sizes[-1]:
+            return False
+        with self._lock:
+            gap = self._ema_gap_s
+        if gap is None:
+            return False
+        nxt = min(s for s in self.batch_sizes if s > n)
+        return (nxt - n) * gap > max(remain_s, 0.0)
 
     def _pick_size(self, n: int, deterministic: bool = False) -> int:
         """Smallest configured batch shape that fits ``n`` rows.

@@ -11,6 +11,7 @@ import base64
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import jax
@@ -1179,6 +1180,54 @@ def test_batch_sizes_deterministic_pins_max_shape(pipeline):
         # prewarm of a deterministic signature warms ONLY the max shape
         n = eng.prewarm(_req(7, deterministic=True), timeout=300)
         assert n == 1
+    finally:
+        eng.shutdown()
+
+
+def test_adaptive_boundary_stop_dispatches_at_shape_boundary(pipeline):
+    """At sub-saturating load the adaptive collector must dispatch as soon
+    as pending sits on a compiled shape boundary that the arrival-rate
+    estimate says won't grow to the next boundary in time — zero pad rows
+    and no full flush-window latency (the r5 sweep padded 20-30% of rows
+    below the knee with full-batch targeting)."""
+    eng = InferenceEngine(
+        pipeline, batch_size=BATCH, batch_sizes=(2, BATCH),
+        latent_size=LATENT, flush_ms=30_000.0, adaptive_flush=True,
+    )
+    dispatched = []
+    orig_dispatch = eng._dispatch
+
+    def _spy(requests):
+        out = orig_dispatch(requests)
+        dispatched.append(int(out.shape[0]))
+        return out
+
+    eng._dispatch = _spy
+    try:
+        # prime the arrival-rate estimate: gap so large the next boundary
+        # (BATCH) can never fill inside the window
+        with eng._lock:
+            eng._ema_gap_s = 30.0
+            eng._last_submit = time.monotonic()
+        t0 = time.monotonic()
+        futs = [eng.submit(_req(0)), eng.submit(_req(1))]
+        imgs = [f.result(timeout=300) for f in futs]
+        elapsed = time.monotonic() - t0
+        # dispatched at the 2-boundary: no pad rows, well inside the 30 s
+        # flush window (compile headroom aside, the wait itself is gone)
+        assert dispatched == [2]
+        s = eng.stats()
+        assert s["padded_rows"] == 0 and s["batches"] == 1
+        assert elapsed < 25.0, f"boundary-stop did not fire ({elapsed:.1f}s)"
+        assert all(img.shape == SHAPE for img in imgs)
+        # the helper itself: at a boundary with a huge gap -> stop; off
+        # boundary or at the max shape or with no estimate -> never
+        assert eng._boundary_stop(2, remain_s=5.0)
+        assert not eng._boundary_stop(1, remain_s=5.0)
+        assert not eng._boundary_stop(BATCH, remain_s=5.0)
+        with eng._lock:
+            eng._ema_gap_s = None
+        assert not eng._boundary_stop(2, remain_s=5.0)
     finally:
         eng.shutdown()
 
