@@ -449,6 +449,19 @@ class _BatchingEngine:
                 with self._lock:
                     self._stats["expired"] += expired
             if batch:
+                # split-flush: a window that expired at a non-shape count
+                # dispatches the largest configured shape that fits and
+                # returns the remainder to pending (it rides the next
+                # window, bounded by one extra flush) instead of padding
+                # up to the next shape.  Pinned (deterministic) traffic
+                # keeps the pad-to-max contract.
+                keep = len(batch)
+                if not self._wants_pinned_shape(it[0] for it in batch):
+                    keep = self._expiry_trim(keep)
+                if keep < len(batch):
+                    for item in reversed(batch[keep:]):
+                        self._pending.appendleft(item)
+                    batch = batch[:keep]
                 self._serve_batch(batch)
         # stop flag observed: this thread owns _pending, so the final
         # drain happens here (shutdown only re-drains after a clean join);
@@ -561,6 +574,19 @@ class _BatchingEngine:
             return False
         nxt = min(s for s in self.batch_sizes if s > n)
         return (nxt - n) * gap > max(remain_s, 0.0)
+
+    def _expiry_trim(self, n: int) -> int:
+        """Split-flush companion to :meth:`_boundary_stop`: how many of
+        ``n`` collected rows to dispatch when the flush window expires off
+        a shape boundary.  Adaptive mode with multiple compiled shapes
+        dispatches the largest configured shape that fits (zero pad rows;
+        the remainder rides the next window, adding at most one flush of
+        latency); rows below the smallest shape still pad — there is no
+        smaller program to run them in."""
+        if not self._adaptive or not self.batch_sizes:
+            return n
+        fit = [s for s in self.batch_sizes if s <= n]
+        return max(fit) if fit else n
 
     def _pick_size(self, n: int, deterministic: bool = False) -> int:
         """Smallest configured batch shape that fits ``n`` rows.

@@ -1232,6 +1232,47 @@ def test_adaptive_boundary_stop_dispatches_at_shape_boundary(pipeline):
         eng.shutdown()
 
 
+def test_adaptive_split_flush_dispatches_exact_shapes(pipeline):
+    """A flush window that expires OFF a shape boundary must dispatch the
+    largest configured shape that fits and re-queue the remainder (one
+    extra window of latency) instead of padding up to the next shape:
+    3 pending rows with shapes (2, 8) previously dispatched one batch-8
+    program with 5 pad rows; split-flush runs two batch-2 programs with
+    a single pad row (the final lone row has no smaller program)."""
+    eng = InferenceEngine(
+        pipeline, batch_size=BATCH, batch_sizes=(2, BATCH),
+        latent_size=LATENT, flush_ms=300.0, adaptive_flush=True,
+    )
+    dispatched = []
+    orig_dispatch = eng._dispatch
+
+    def _spy(requests):
+        out = orig_dispatch(requests)
+        dispatched.append(int(out.shape[0]))
+        return out
+
+    eng._dispatch = _spy
+    try:
+        futs = [eng.submit(_req(i)) for i in range(3)]
+        imgs = [f.result(timeout=300) for f in futs]
+        # whatever the worker's window landed on (n=3 trim, or n=1 pad
+        # then n=2 exact), the dispatched shapes are two batch-2 programs
+        # with exactly one pad row — never a padded batch-8
+        assert dispatched == [2, 2], dispatched
+        s = eng.stats()
+        assert s["batches"] == 2 and s["padded_rows"] == 1
+        assert all(img.shape == SHAPE for img in imgs)
+        # the helper itself: expiry at a non-shape count dispatches the
+        # largest fitting shape; below the smallest shape it must pad
+        # (no smaller program exists); exact shapes pass through
+        assert eng._expiry_trim(3) == 2
+        assert eng._expiry_trim(1) == 1
+        assert eng._expiry_trim(2) == 2
+        assert eng._expiry_trim(BATCH) == BATCH
+    finally:
+        eng.shutdown()
+
+
 def test_batch_sizes_prewarm_warms_every_shape(pipeline):
     eng = InferenceEngine(
         pipeline, batch_size=BATCH, batch_sizes=(2, BATCH),
