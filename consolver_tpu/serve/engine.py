@@ -42,6 +42,7 @@ from __future__ import annotations
 import collections
 import copy
 import dataclasses
+import heapq
 import queue
 import threading
 import time
@@ -269,10 +270,15 @@ class _BatchingEngine:
         self._queue.put((request, fut, now))
         with self._lock:
             self._stats["requests"] += 1
-            # inter-arrival EMA feeds the adaptive flush window; idle gaps
-            # inflate it but the flush_ms cap bounds the damage
+            # inter-arrival EMA feeds the adaptive flush window.  Idle
+            # gaps are clamped at the flush window before entering the
+            # EMA: every decision the estimate feeds saturates at "won't
+            # fill within the window" anyway, and an unclamped hour-long
+            # idle gap would need ~40 arrivals to decay back under the
+            # window — chopping the first post-idle burst into
+            # smallest-shape batches.
             if self._last_submit is not None:
-                gap = now - self._last_submit
+                gap = min(now - self._last_submit, self._flush_s)
                 self._ema_gap_s = (
                     gap if self._ema_gap_s is None
                     else 0.8 * self._ema_gap_s + 0.2 * gap
@@ -299,26 +305,56 @@ class _BatchingEngine:
         Runs one padded dummy batch per (``program_key``, batch size) and
         discards the images — call before exposing the server so the first
         real request skips the remote TPU compile (~1-3 min per program).
-        Dispatches directly on the calling thread (not through the queue):
-        a queue submit can only deterministically warm one batch shape,
-        and prewarm runs before traffic by contract.  Deterministic
-        signatures warm only the max shape (the only one they are ever
-        served at — see :meth:`_pick_size`).  Returns the number of
-        (signature, batch-size) programs warmed."""
-        del timeout  # kept for API compatibility; dispatch is synchronous
+        Dispatches directly (not through the queue): a queue submit can
+        only deterministically warm one batch shape, and prewarm runs
+        before traffic by contract.  Deterministic signatures warm only
+        the max shape (the only one they are ever served at — see
+        :meth:`_pick_size`).  ``timeout`` bounds the TOTAL warm time —
+        the known axon failure mode is a backend call that blocks
+        forever, so the work runs on a daemon thread and a timeout
+        raises ``TimeoutError`` to the caller (the hung dispatch is
+        abandoned).  Returns the number of (signature, batch-size)
+        programs warmed."""
         unique = {}
         for r in requests:
             unique.setdefault(r.program_key, r)
-        n = 0
-        for r in unique.values():
-            sizes = (
-                (self.batch_sizes[-1],) if self._wants_pinned_shape([r])
-                else self.batch_sizes
-            )
-            for size in sizes:
-                images = self._dispatch([r] * size)
-                self._fetch(images, 1)
-                n += 1
+
+        def _warm_all() -> int:
+            n = 0
+            for r in unique.values():
+                sizes = (
+                    (self.batch_sizes[-1],) if self._wants_pinned_shape([r])
+                    else self.batch_sizes
+                )
+                for size in sizes:
+                    images = self._dispatch([r] * size)
+                    self._fetch(images, 1)
+                    n += 1
+            return n
+
+        if timeout is None:
+            n = _warm_all()
+        else:
+            box: dict = {}
+            done = threading.Event()
+
+            def _runner():
+                try:
+                    box["n"] = _warm_all()
+                except BaseException as exc:  # surface on the caller
+                    box["err"] = exc
+                finally:
+                    done.set()
+
+            t = threading.Thread(target=_runner, daemon=True,
+                                 name="consolver-prewarm")
+            t.start()
+            if not done.wait(timeout):
+                raise TimeoutError(f"prewarm exceeded {timeout:.0f}s "
+                                   "(remote compile hung?)")
+            if "err" in box:
+                raise box["err"]
+            n = box["n"]
         with self._lock:
             self._stats["prewarmed"] += n
         return n
@@ -417,12 +453,22 @@ class _BatchingEngine:
                         continue
                     except queue.Empty:
                         pass
-                # window elapsed; in adaptive mode, keep collecting while
-                # the device already has the maximum batches in flight —
-                # dispatching now would only block on the fetch queue's
-                # backpressure, so waiting costs nothing and fills batches
+                # window elapsed; drain anything already sitting in the
+                # queue first — popping is instant, and breaking while
+                # requests wait would chop an instantaneous burst into
+                # undersized batches
+                while len(self._pending) < self.batch_size:
+                    try:
+                        self._pending.append(self._queue.get_nowait())
+                    except queue.Empty:
+                        break
+                # in adaptive mode, keep collecting while the device
+                # already has the maximum batches in flight — dispatching
+                # now would only block on the fetch queue's backpressure,
+                # so waiting costs nothing and fills batches
                 if (self._adaptive and self._fetch_queue.full()
-                        and not self._stop.is_set()):
+                        and not self._stop.is_set()
+                        and len(self._pending) < self.batch_size):
                     deadline = time.monotonic() + self._flush_s
                     continue
                 break
@@ -459,8 +505,16 @@ class _BatchingEngine:
                 if not self._wants_pinned_shape(it[0] for it in batch):
                     keep = self._expiry_trim(keep)
                 if keep < len(batch):
-                    for item in reversed(batch[keep:]):
-                        self._pending.appendleft(item)
+                    # merge the remainder back by ARRIVAL time (item[2]),
+                    # not at the head: an off-boundary remainder that
+                    # jumped the queue would permanently front-run an
+                    # earlier-arrived request of another program
+                    # signature under steady off-boundary traffic —
+                    # starving (and eventually expiring) the minority
+                    # signature.  Both sequences are arrival-ordered, so
+                    # this is a linear merge preserving global FIFO.
+                    self._pending = collections.deque(heapq.merge(
+                        batch[keep:], self._pending, key=lambda it: it[2]))
                     batch = batch[:keep]
                 self._serve_batch(batch)
         # stop flag observed: this thread owns _pending, so the final
@@ -567,6 +621,12 @@ class _BatchingEngine:
         if not self._adaptive or n not in self.batch_sizes:
             return False
         if n >= self.batch_sizes[-1]:
+            return False
+        # requests already sitting in the queue disprove any rate
+        # estimate — keep collecting (the pop loop drains them without
+        # waiting); without this a stale post-idle EMA would chop an
+        # instantaneous burst into smallest-shape batches
+        if not self._queue.empty():
             return False
         with self._lock:
             gap = self._ema_gap_s

@@ -68,9 +68,16 @@ def prepare(ckpt_root: str, enc_root: str):
 
     cpu = jax.devices("cpu")[0]
     if not os.path.isdir(os.path.join(ckpt_root, "unet")):
-        from scripts import make_bench_ckpt
+        # subprocess, NOT run_cli: make_bench_ckpt pins jax_platforms=cpu
+        # process-wide, which would silently demote this process's TPU
+        # session to the host CPU
+        import subprocess
 
-        run_cli(make_bench_ckpt, ["--dst", ckpt_root])
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "make_bench_ckpt.py"),
+             "--dst", ckpt_root],
+            check=True, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
 
     if not os.path.isdir(os.path.join(ckpt_root, "clip_text")):
         # a REAL transformers CLIPTextModel at the SD-1.5 config (random
@@ -272,6 +279,8 @@ def main():
         print(f"consistency[{name}]: {report['consistency'][name]}", flush=True)
 
     flagship = f"consistencysolver-{args.sweep_steps[-1]}"
+    if flagship not in sweep_dirs:  # --solvers without consistencysolver
+        flagship = next(iter(sweep_dirs))
     dino_fn = make_reward_fn(
         "dino",
         RewardModel(encode=build_encoder_for(

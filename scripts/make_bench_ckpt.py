@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
 
+    # CPU pinning on this box needs BOTH the env var and the config flag
+    # (the axon plugin ignores a plain config override once registered);
+    # the env var only helps if the backend is not yet initialized, which
+    # is why drive_eval invokes this script as a subprocess.
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     jax.config.update("jax_platforms", "cpu")
 
     import orbax.checkpoint as ocp

@@ -250,7 +250,10 @@ def main():
         futs = []
 
         def _mark_done(fut, i):
-            done_t[i] = time.monotonic()
+            # setdefault, mirroring the waiter below: whoever stamps
+            # first wins, so the goodput timeline and the e2e latencies
+            # derive from ONE completion time per request
+            done_t.setdefault(i, time.monotonic())
 
         for i in range(args.requests):
             if rate > 0 and i:
@@ -274,7 +277,7 @@ def main():
         batches = s["batches"] - base["batches"]
         rows = s["batched_rows"] - base["batched_rows"]
         pads = s["padded_rows"] - base["padded_rows"]
-        # steady-state goodput: completions-per-second over the middle 80%
+        # steady-state goodput: completions-per-second over the middle 90%
         # of the completion timeline, so the arrival ramp and the drain
         # tail don't understate sustained throughput (VERDICT r4 Weak #1a:
         # dividing by total wall time made sub-saturation rows look

@@ -1314,6 +1314,115 @@ def test_adaptive_flush_window_scales_with_arrivals(pipeline):
         eng.shutdown()
 
 
+def _blocked_dispatch_spy(eng):
+    """Patch eng._dispatch so the FIRST call parks until ``release`` is
+    set (holding the worker inside _serve_batch while the test loads the
+    queue), recording every dispatched request-prompt list."""
+    order = []
+    entered, release = threading.Event(), threading.Event()
+    orig_dispatch = eng._dispatch
+
+    def _spy(requests):
+        entered.set()
+        assert release.wait(30), "test never released the worker"
+        order.append([r.prompt for r in requests])
+        return orig_dispatch(requests)
+
+    eng._dispatch = _spy
+    return order, entered, release
+
+
+def test_split_flush_remainder_does_not_starve_other_signature(pipeline):
+    """The off-boundary remainder of a split-flush must NOT jump the
+    queue: re-queued at the head it would permanently front-run an
+    earlier-arrived request of another program signature under steady
+    off-boundary traffic — starving (and with max_wait_s, expiring) the
+    minority signature (review fix).  The remainder merges back by
+    ARRIVAL time, so dispatch order stays global-FIFO:
+    [A0,A1] -> [B] -> [A2], never [A0,A1] -> [A2] -> [B]."""
+    eng = InferenceEngine(
+        pipeline, batch_size=BATCH, batch_sizes=(2, BATCH),
+        latent_size=LATENT, flush_ms=200.0, adaptive_flush=True,
+    )
+    order, entered, release = _blocked_dispatch_spy(eng)
+    try:
+        primer = eng.submit(_req(99))
+        assert entered.wait(30)
+        # worker parked mid-dispatch: load the queue in arrival order
+        # A0, A1, B, A2 (B is a different program signature)
+        futs = [eng.submit(_req(0)), eng.submit(_req(1)),
+                eng.submit(_req(3, num_inference_steps=3)),
+                eng.submit(_req(2))]
+        release.set()
+        primer.result(timeout=300)
+        for f in futs:
+            f.result(timeout=300)
+        assert order == [
+            ["prompt 99"],
+            ["prompt 0", "prompt 1"],   # split-flush at the 2-boundary
+            ["prompt 3"],               # earlier-arrived B rides next
+            ["prompt 2"],               # the remainder follows FIFO
+        ], order
+    finally:
+        release.set()
+        eng.shutdown()
+
+
+def test_post_idle_burst_fills_the_batch(pipeline):
+    """A burst arriving after a long idle period must dispatch as ONE
+    full batch: the stale idle-inflated EMA gap must neither chop it at
+    a smaller shape boundary (requests already in the queue disprove the
+    rate estimate) nor survive un-clamped into the next window's
+    estimate (review fix)."""
+    eng = InferenceEngine(
+        pipeline, batch_size=BATCH, batch_sizes=(2, BATCH),
+        latent_size=LATENT, flush_ms=200.0, adaptive_flush=True,
+    )
+    order, entered, release = _blocked_dispatch_spy(eng)
+    try:
+        primer = eng.submit(_req(99))
+        assert entered.wait(30)
+        with eng._lock:  # simulate: engine idle for an hour, stale EMA
+            eng._ema_gap_s = 50.0
+            eng._last_submit = time.monotonic() - 3600.0
+        futs = [eng.submit(_req(i)) for i in range(BATCH)]
+        with eng._lock:  # the idle gap entered the EMA clamped at flush_s
+            assert eng._ema_gap_s < 50.0
+        release.set()
+        primer.result(timeout=300)
+        for f in futs:
+            f.result(timeout=300)
+        assert [len(b) for b in order] == [1, BATCH], order
+    finally:
+        release.set()
+        eng.shutdown()
+
+
+def test_prewarm_timeout_bounds_a_hung_compile(pipeline):
+    """prewarm(timeout=...) must raise TimeoutError instead of blocking
+    forever when a dispatch hangs (the known axon-tunnel outage mode:
+    backend calls block indefinitely) — scripts/serve.py passes
+    --request-timeout here to bound server startup (review fix)."""
+    eng = InferenceEngine(
+        pipeline, batch_size=BATCH, latent_size=LATENT, flush_ms=150.0
+    )
+    release = threading.Event()
+
+    def _hang(requests):
+        release.wait(30)
+        raise RuntimeError("abandoned prewarm dispatch")
+
+    eng._dispatch = _hang
+    try:
+        t0 = time.monotonic()
+        with pytest.raises(TimeoutError):
+            eng.prewarm(_req(0), timeout=0.3)
+        assert time.monotonic() - t0 < 10.0
+    finally:
+        release.set()
+        eng.shutdown()
+
+
 # -------------------------------------------------------- policy hot-reload
 # VERDICT r4 task #2: the product loop trains a policy checkpoint every N
 # steps (train_ppo.py:445-449) and inference loads it into the scheduler
