@@ -50,6 +50,16 @@ SWEEP_SOLVERS = (
     "amed", "dmd2", "sde-dpmsolver++",
 )
 
+# AMED's learned schedules exist only at the published NFE counts
+# (solver_zoo.AMED_SCHEDULES, gen_ppo.py:24-52); snap to the nearest
+AMED_STEPS = (4, 6, 8, 10, 14)
+
+
+def valid_steps(solver_name: str, steps: int) -> int:
+    if solver_name == "amed":
+        return min(AMED_STEPS, key=lambda s: (abs(s - steps), s))
+    return steps
+
 
 def run_cli(module, argv):
     old = sys.argv
@@ -237,46 +247,80 @@ def main():
     }
     wall0 = time.monotonic()
 
+    # stage-level resume: each completed stage's row lands in
+    # root/progress.json immediately, so a crash (or a per-solver
+    # step-validity error) doesn't forfeit the hours of remote compiles
+    # and generation already done — the rerun replays recorded rows and
+    # continues from the first missing stage
+    progress_path = os.path.join(args.root, "progress.json")
+    done = {}
+    if os.path.exists(progress_path):
+        with open(progress_path) as f:
+            done = json.load(f)
+        print(f"resuming past {len(done)} recorded stages", flush=True)
+
+    def record(stage, row):
+        done[stage] = row
+        with open(progress_path, "w") as f:
+            json.dump(done, f, indent=2)
+        print(f"{stage}: {row}", flush=True)
+        return row
+
+    def dir_complete(d):
+        import glob
+
+        return len(glob.glob(os.path.join(d, "*.png"))) >= args.prompts
+
     # -- teacher -----------------------------------------------------------
     teacher_dir = os.path.join(args.root, "teacher")
-    gen = make_gen("multistep-dpm", args.teacher_steps)
-    t0 = time.monotonic()
-    generate_sweep(gen, prompts, teacher_dir, args.batch_size, seed=0)
-    report["teacher"] = {
-        "solver": "multistep-dpm", "steps": args.teacher_steps,
-        "wall_s": round(time.monotonic() - t0, 1), **gen.stats(args.batch_size),
-    }
-    print(f"teacher: {report['teacher']}", flush=True)
+    if "teacher" in done and dir_complete(teacher_dir):
+        report["teacher"] = done["teacher"]
+    else:
+        gen = make_gen("multistep-dpm", args.teacher_steps)
+        t0 = time.monotonic()
+        generate_sweep(gen, prompts, teacher_dir, args.batch_size, seed=0)
+        report["teacher"] = record("teacher", {
+            "solver": "multistep-dpm", "steps": args.teacher_steps,
+            "wall_s": round(time.monotonic() - t0, 1),
+            **gen.stats(args.batch_size),
+        })
 
     # -- solver sweep ------------------------------------------------------
     sweep_dirs = {}
     for solver_name in args.solvers:
         for steps in args.sweep_steps:
+            steps = valid_steps(solver_name, steps)
             name = f"{solver_name}-{steps}"
+            if name in sweep_dirs:
+                continue  # step snapping can collide (amed 5 -> 4)
+            d = os.path.join(args.root, "sweep", name)
+            sweep_dirs[name] = d
+            if name in done and dir_complete(d):
+                report["sweep"][name] = done[name]
+                continue
             gen = make_gen(solver_name, steps)
             t0 = time.monotonic()
-            generate_sweep(gen, prompts,
-                           os.path.join(args.root, "sweep", name),
-                           args.batch_size, seed=0)
-            sweep_dirs[name] = os.path.join(args.root, "sweep", name)
-            report["sweep"][name] = {
+            generate_sweep(gen, prompts, d, args.batch_size, seed=0)
+            report["sweep"][name] = record(name, {
                 "wall_s": round(time.monotonic() - t0, 1),
                 **gen.stats(args.batch_size),
-            }
-            print(f"{name}: {report['sweep'][name]}", flush=True)
+            })
 
     # -- consistency (psnr all dirs; dino on the flagship) ------------------
     psnr_fn = make_reward_fn("image_psnr")
     for name, d in sweep_dirs.items():
+        ckey = f"consistency/{name}"
+        if ckey in done:
+            report["consistency"][name] = done[ckey]
+            continue
         t0 = time.monotonic()
         stats = evaluate_consistency(psnr_fn, d, teacher_dir, batch_size=32)
-        report["consistency"][name] = {
+        report["consistency"][name] = record(ckey, {
             "reward": "image_psnr", "wall_s": round(time.monotonic() - t0, 1),
             "pairs_per_s": round(stats["num_scored"] / (time.monotonic() - t0), 1),
             "mean": stats["mean"], "num_scored": stats["num_scored"],
             "num_errors": stats["num_errors"],
-        }
-        print(f"consistency[{name}]: {report['consistency'][name]}", flush=True)
+        })
 
     flagship = f"consistencysolver-{args.sweep_steps[-1]}"
     if flagship not in sweep_dirs:  # --solvers without consistencysolver
@@ -286,18 +330,20 @@ def main():
         RewardModel(encode=build_encoder_for(
             "dino", load_orbax(os.path.join(enc_root, "dino")))),
     )
-    t0 = time.monotonic()
-    stats = evaluate_consistency(dino_fn, sweep_dirs[flagship], teacher_dir,
-                                 batch_size=32, size=(224, 224))
-    report["consistency"][flagship + "+dino"] = {
-        "reward": "dino (DINOv2-base CLS cosine, random weights)",
-        "wall_s": round(time.monotonic() - t0, 1),
-        "pairs_per_s": round(stats["num_scored"] / (time.monotonic() - t0), 1),
-        "mean": stats["mean"], "num_scored": stats["num_scored"],
-        "num_errors": stats["num_errors"],
-    }
-    print(f"consistency[dino]: {report['consistency'][flagship + '+dino']}",
-          flush=True)
+    if "consistency/dino" in done:
+        report["consistency"][flagship + "+dino"] = done["consistency/dino"]
+    else:
+        t0 = time.monotonic()
+        stats = evaluate_consistency(dino_fn, sweep_dirs[flagship],
+                                     teacher_dir, batch_size=32,
+                                     size=(224, 224))
+        report["consistency"][flagship + "+dino"] = record("consistency/dino", {
+            "reward": "dino (DINOv2-base CLS cosine, random weights)",
+            "wall_s": round(time.monotonic() - t0, 1),
+            "pairs_per_s": round(stats["num_scored"] / (time.monotonic() - t0), 1),
+            "mean": stats["mean"], "num_scored": stats["num_scored"],
+            "num_errors": stats["num_errors"],
+        })
 
     # -- FID (real InceptionV3 pool3 2048-d path) ---------------------------
     from consolver_tpu.models.inception import InceptionV3, make_inception_encoder
@@ -313,17 +359,19 @@ def main():
             yield np.stack([_load_image(p, (256, 256))
                             for p in files[start:start + 32]])
 
-    t0 = time.monotonic()
-    fid_value = fid_lib.compute_fid(encode, stream(sweep_dirs[flagship]),
-                                    stream(teacher_dir))
-    report["fid"] = {
-        "generated": flagship, "reference": "teacher",
-        "encoder": "InceptionV3 pool3 2048-d (random weights)",
-        "value": round(float(fid_value), 4),
-        "wall_s": round(time.monotonic() - t0, 1),
-        "images_per_s": round(2 * args.prompts / (time.monotonic() - t0), 1),
-    }
-    print(f"fid: {report['fid']}", flush=True)
+    if "fid" in done:
+        report["fid"] = done["fid"]
+    else:
+        t0 = time.monotonic()
+        fid_value = fid_lib.compute_fid(encode, stream(sweep_dirs[flagship]),
+                                        stream(teacher_dir))
+        report["fid"] = record("fid", {
+            "generated": flagship, "reference": "teacher",
+            "encoder": "InceptionV3 pool3 2048-d (random weights)",
+            "value": round(float(fid_value), 4),
+            "wall_s": round(time.monotonic() - t0, 1),
+            "images_per_s": round(2 * args.prompts / (time.monotonic() - t0), 1),
+        })
 
     report["total_wall_s"] = round(time.monotonic() - wall0, 1)
     out_path = os.path.join(REPO, args.out)
