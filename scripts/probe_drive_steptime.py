@@ -43,9 +43,10 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_window(trainer, dataset, batch_size, n_steps, seed):
+def run_window(trainer, dataset, batch_size, n_steps, seed, flush=None):
     """Drive the trainer off the real npz stream for n_steps, timing the
-    host fetch and the train_step separately."""
+    host fetch and the train_step separately.  ``flush(rows)`` runs after
+    every step so a truncated run still leaves analyzable data."""
     rows = []
     stream = None
     epoch = 0
@@ -70,6 +71,8 @@ def run_window(trainer, dataset, batch_size, n_steps, seed):
         })
         print(f"step {rows[-1]['step']:3d} count={rows[-1]['num_inference']:2d} "
               f"fetch={t_fetch*1e3:6.1f}ms step={t_step:7.2f}s", flush=True)
+        if flush is not None:
+            flush(rows)
     return rows
 
 
@@ -126,10 +129,17 @@ def main():
     dataset = TeacherDataset(cfg.data.train_data_dir)
 
     trainer = PPOTrainer(pipe, reward_fn, cfg.train)
+    partial_path = os.path.join(REPO, args.out + ".partial")
+
+    def flush(rows):
+        with open(partial_path, "w") as f:
+            json.dump({"partial": True, "raw_drawn": rows}, f)
+
     print(f"== drawn-count window ({args.drawn_steps} steps, counts "
           f"[{cfg.train.min_inference_steps},{cfg.train.max_inference_steps})"
           f" drawn per step) ==", flush=True)
-    drawn = run_window(trainer, dataset, args.batch, args.drawn_steps, seed=0)
+    drawn = run_window(trainer, dataset, args.batch, args.drawn_steps, seed=0,
+                       flush=flush)
 
     import dataclasses
 
@@ -188,6 +198,8 @@ def main():
     out_path = os.path.join(REPO, args.out)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
+    if os.path.exists(partial_path):
+        os.remove(partial_path)
     print(json.dumps({k: v for k, v in report.items()
                       if k not in ("raw_drawn", "raw_fixed")}, indent=2))
     print(f"wrote {out_path}")
