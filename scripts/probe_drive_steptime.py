@@ -93,6 +93,13 @@ def main():
     ap.add_argument("--root", default="/tmp/drive_steptime")
     ap.add_argument("--drawn-steps", type=int, default=42)
     ap.add_argument("--fixed-steps", type=int, default=5)
+    ap.add_argument("--pinned-counts", type=int, nargs="*", default=None,
+                    help="cheap mode: instead of the drawn-count window, "
+                    "pin each listed count for --pinned-steps steps (the "
+                    "first step per count is its compile) and fit the "
+                    "linear model from those medians — 3 counts bound the "
+                    "whole line at ~1/4 the chip time")
+    ap.add_argument("--pinned-steps", type=int, default=4)
     ap.add_argument("--batch", type=int, default=80)
     ap.add_argument("--out", default="DRIVE_r05_steptime.json")
     args = ap.parse_args()
@@ -135,20 +142,32 @@ def main():
         with open(partial_path, "w") as f:
             json.dump({"partial": True, "raw_drawn": rows}, f)
 
-    print(f"== drawn-count window ({args.drawn_steps} steps, counts "
-          f"[{cfg.train.min_inference_steps},{cfg.train.max_inference_steps})"
-          f" drawn per step) ==", flush=True)
-    drawn = run_window(trainer, dataset, args.batch, args.drawn_steps, seed=0,
-                       flush=flush)
-
     import dataclasses
 
-    fixed_cfg = dataclasses.replace(
-        cfg.train, min_inference_steps=8, max_inference_steps=9)
-    fixed_trainer = PPOTrainer(pipe, reward_fn, fixed_cfg)
-    fixed_trainer.params, fixed_trainer.opt_state = trainer.params, trainer.opt_state
-    print(f"== fixed-count-8 window ({args.fixed_steps} steps) ==", flush=True)
-    fixed = run_window(fixed_trainer, dataset, args.batch, args.fixed_steps, seed=100)
+    def pinned_window(n, steps, seed):
+        c = dataclasses.replace(
+            cfg.train, min_inference_steps=n, max_inference_steps=n + 1)
+        tr = PPOTrainer(pipe, reward_fn, c)
+        tr.params, tr.opt_state = trainer.params, trainer.opt_state
+        return run_window(tr, dataset, args.batch, steps, seed=seed,
+                          flush=flush)
+
+    if args.pinned_counts:
+        drawn = []
+        for n in args.pinned_counts:
+            print(f"== pinned-count-{n} window ({args.pinned_steps} steps) "
+                  f"==", flush=True)
+            drawn += pinned_window(n, args.pinned_steps, seed=50 + n)
+        fixed = [r for r in drawn if r["num_inference"] == 8] or drawn[-args.pinned_steps:]
+    else:
+        print(f"== drawn-count window ({args.drawn_steps} steps, counts "
+              f"[{cfg.train.min_inference_steps},{cfg.train.max_inference_steps})"
+              f" drawn per step) ==", flush=True)
+        drawn = run_window(trainer, dataset, args.batch, args.drawn_steps,
+                           seed=0, flush=flush)
+        print(f"== fixed-count-8 window ({args.fixed_steps} steps) ==",
+              flush=True)
+        fixed = pinned_window(8, args.fixed_steps, seed=100)
 
     per_count = steady_by_count(drawn)
     counts = sorted(per_count)
@@ -166,6 +185,8 @@ def main():
     report = {
         "config": {"batch": args.batch, "resolution": 512,
                    "count_range": [lo, hi], "drawn_steps": args.drawn_steps,
+                   "pinned_counts": args.pinned_counts,
+                   "pinned_steps": args.pinned_steps,
                    "hardware": "one v5e chip via tunnel"},
         "per_count_median_step_s": {str(n): med[n] for n in counts},
         "per_count_samples": {str(n): len(per_count[n]) for n in counts},
