@@ -143,6 +143,10 @@ class ExperimentConfig:
 
 
 def _coerce(value: str, typ: Any) -> Any:
+    if not isinstance(value, str):
+        # already-typed value (programmatic apply_overrides caller):
+        # trust it — coercion exists for CLI "--set k=v" strings
+        return value
     if get_origin(typ) is not None:  # Optional[...] etc.
         args = [a for a in get_args(typ) if a is not type(None)]
         if value.lower() in ("none", "null"):
